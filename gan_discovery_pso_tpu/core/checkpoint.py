@@ -1,0 +1,104 @@
+"""Pytree checkpointing: atomic msgpack save/load for params + opt + swarm state.
+
+The reference scatters state across torch `.tar` dicts with model+optimizer
+(reference src/utils/util_dcgan.py:225-238), bare `.pt` state_dicts
+(src/pso/util_cnn.py:380-383), and pickled DataFrames for swarm histories
+(src/pso/util_pso.py:159-165). Here every checkpoint is one msgpack-encoded
+pytree written atomically (tmp + rename), preemption-safe, with the same
+best/last-model selection contracts. File names keep the reference stems
+(`checkpoint_g`, `best_g`, `encoder`, `model_{label}`) with a `.msgpack`
+suffix so runs are self-describing.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str | Path, tree: Any) -> Path:
+    """Atomically serialize a pytree of arrays/scalars/dicts to msgpack."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # Pull device arrays to host once, as numpy.
+    host_tree = jax.tree.map(_to_host, tree)
+    blob = serialization.msgpack_serialize(host_tree)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+    return path
+
+
+def load_pytree(path: str | Path, target: Any = None) -> Any:
+    """Load a msgpack pytree; if `target` is given, restore into its structure
+    (keeps dtypes/shapes validated against the template)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, blob)
+    return serialization.msgpack_restore(blob)
+
+
+def _to_host(x):
+    if isinstance(x, jax.Array):
+        return np.asarray(x)
+    return x
+
+
+class Checkpointer:
+    """Per-run checkpoint manager with the reference's artifact contract.
+
+    - `save_every_epoch(...)` → `checkpoint_<tag>.msgpack` overwritten per
+      epoch with model + optimizer + epoch + loss
+      (reference src/utils/util_dcgan.py:225-238).
+    - `save_best(...)` → `best_<tag>.msgpack`
+      (reference src/utils/util_dcgan.py:303-314).
+    - deterministic resume: includes PRNG stream counters and step so a
+      preempted run restarts bit-identically (the reference resumes only
+      epoch granularity, src/utils/util_dcgan.py:162-177).
+    """
+
+    def __init__(self, model_dir: str | Path):
+        self.model_dir = Path(model_dir)
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+
+    def save_every_epoch(self, tag: str, epoch: int, state: Any, loss=None) -> Path:
+        payload = {
+            "epoch": int(epoch),
+            "state": state,
+            "loss": None if loss is None else float(jnp.asarray(loss)),
+        }
+        return save_pytree(self.model_dir / f"checkpoint_{tag}.msgpack", payload)
+
+    def save_best(self, tag: str, epoch: int, state: Any, loss=None) -> Path:
+        payload = {
+            "epoch": int(epoch),
+            "state": state,
+            "loss": None if loss is None else float(jnp.asarray(loss)),
+        }
+        return save_pytree(self.model_dir / f"best_{tag}.msgpack", payload)
+
+    def save_state_dict(self, name: str, state: Any) -> Path:
+        """Bare state save, mirroring `torch.save(model.state_dict(), 'x.pt')`
+        (reference src/inverter/utils_ae/util_inverter.py:290)."""
+        return save_pytree(self.model_dir / f"{name}.msgpack", state)
+
+    def load(self, filename: str, target: Any = None) -> Any:
+        return load_pytree(self.model_dir / filename, target)
+
+    def try_load(self, filename: str, target: Any = None) -> Any | None:
+        """Opportunistic resume: try-load-else-None
+        (reference src/training/cnn.py:154-162 pattern)."""
+        p = self.model_dir / filename
+        if not p.exists():
+            return None
+        return load_pytree(p, target)

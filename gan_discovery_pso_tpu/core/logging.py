@@ -1,0 +1,129 @@
+"""Logging + metrics: stdout tee, CSV metric histories, notifier hook.
+
+Replaces the reference's `Logger` stdout/stderr tee
+(reference src/utils/util_general.py:140-193), pickled history dicts
+(src/utils/util_dcgan.py:176,272-274) and the hard-coded IFTTT webhook
+(src/utils/util_general.py:75-78 — replaced with a pluggable, opt-in
+notifier; no secrets in source).
+
+Metrics accumulate on device inside jitted steps (just jnp scalars in the
+returned metrics dict); this module only handles the periodic host flush.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Callable, Mapping
+
+import numpy as np
+
+
+def format_time(seconds: float) -> str:
+    """Human-readable duration (reference src/utils/util_general.py:195-206)."""
+    s = int(np.rint(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 60 * 60:
+        return f"{s // 60}m {s % 60:02d}s"
+    if s < 24 * 60 * 60:
+        return f"{s // 3600}h {(s // 60) % 60:02d}m {s % 60:02d}s"
+    return f"{s // 86400}d {(s // 3600) % 24:02d}h {(s // 60) % 60:02d}m"
+
+
+class Tee:
+    """Duplicate stdout/stderr into `log.txt` inside the run dir
+    (reference src/utils/util_general.py:140-193). Context manager."""
+
+    def __init__(self, file_path: str | Path, mode: str = "w"):
+        self.file = open(file_path, mode, buffering=1)
+        self._stdout = None
+        self._stderr = None
+
+    def __enter__(self):
+        self._stdout, self._stderr = sys.stdout, sys.stderr
+        sys.stdout = _Fork(self._stdout, self.file)
+        sys.stderr = _Fork(self._stderr, self.file)
+        return self
+
+    def __exit__(self, *exc):
+        sys.stdout = self._stdout
+        sys.stderr = self._stderr
+        self.file.close()
+        return False
+
+
+class _Fork:
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def write(self, data):
+        for s in self.sinks:
+            s.write(data)
+
+    def flush(self):
+        for s in self.sinks:
+            s.flush()
+
+    def isatty(self):
+        return False
+
+
+class MetricsWriter:
+    """Append-only metric history with CSV + JSONL artifacts.
+
+    One row per (step, metrics...) append; `history()` returns the full
+    dict-of-lists (the shape downstream reporting consumes, matching the
+    reference's history dicts, src/utils/util_dcgan.py:176)."""
+
+    def __init__(self, out_dir: str | Path, name: str = "history"):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.name = name
+        self._rows: list[dict] = []
+        self._jsonl = open(self.out_dir / f"{name}.jsonl", "a", buffering=1)
+
+    def append(self, step: int, **metrics) -> None:
+        row = {"step": int(step)}
+        for k, v in metrics.items():
+            row[k] = float(np.asarray(v))
+        self._rows.append(row)
+        self._jsonl.write(json.dumps(row) + "\n")
+
+    def history(self) -> dict[str, list]:
+        keys = sorted({k for r in self._rows for k in r})
+        return {k: [r.get(k) for r in self._rows] for k in keys}
+
+    def flush_csv(self) -> Path:
+        path = self.out_dir / f"{self.name}.csv"
+        keys = sorted({k for r in self._rows for k in r})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self._rows)
+        return path
+
+    def close(self):
+        self.flush_csv()
+        self._jsonl.close()
+
+
+class Notifier:
+    """Pluggable run-lifecycle notifier (replaces the hard-coded IFTTT
+    webhook, reference src/utils/util_general.py:75-78). Default: log only."""
+
+    def __init__(self, hook: Callable[[str, Mapping], None] | None = None):
+        self.hook = hook
+        self._t0 = time.time()
+
+    def __call__(self, event: str, **payload) -> None:
+        payload = {"elapsed": format_time(time.time() - self._t0), **payload}
+        print(f"[notify] {event}: {payload}")
+        if self.hook is not None:
+            try:
+                self.hook(event, payload)
+            except Exception as e:  # notification must never kill a run
+                print(f"[notify] hook failed: {e!r}")

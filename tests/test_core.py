@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from gan_discovery_pso_tpu.core import (
+    Config,
+    KeyChain,
+    PsoConfig,
+    RunDir,
+    get_next_run_id,
+    load_config,
+    load_pytree,
+    save_pytree,
+    format_time,
+)
+from gan_discovery_pso_tpu.core.checkpoint import Checkpointer
+
+CFG = "configs/dcgan_mnist.yaml"
+
+
+def test_config_loads_reference_yaml():
+    cfg = load_config(CFG)
+    assert cfg.seed == 42
+    assert cfg.data.image_size == 28
+    assert list(cfg.data.iid_classes) == [0, 2, 3, 4, 6, 7, 8, 9]
+    assert cfg.trainer_pso.n_particles == 32
+    assert cfg["trainer_gan"]["z_dim"] == 10
+    with pytest.raises(AttributeError):
+        _ = cfg.nonexistent_block
+
+
+def test_config_overrides():
+    cfg = load_config(CFG, overrides={"trainer_pso.n_particles": 64})
+    assert cfg.trainer_pso.n_particles == 64
+    # original untouched semantics
+    cfg2 = cfg.with_overrides({"trainer_pso.dim_space": 100})
+    assert cfg.trainer_pso.dim_space == 2
+    assert cfg2.trainer_pso.dim_space == 100
+
+
+def test_pso_config_block():
+    cfg = load_config(CFG)
+    pso = PsoConfig.from_config(cfg.trainer_pso)
+    assert pso.n_iterations == 50
+    assert pso.w_inertia == pytest.approx(0.73)
+    assert pso.w_cognitive == pytest.approx(1.496)
+    assert not pso.early_stopping
+    # pso_inverter block uses early_stopping_pso naming
+    psoi = PsoConfig.from_config(cfg.trainer_pso_inverter)
+    assert psoi.n_particles == 256
+    assert psoi.dim_space == 10
+
+
+def test_keychain_deterministic_and_independent():
+    a, b = KeyChain(42), KeyChain(42)
+    k1, k2 = a("s"), a("s")
+    assert not np.array_equal(
+        np.asarray(jax_key_data(k1)), np.asarray(jax_key_data(k2))
+    )
+    # same seed replays identically
+    assert np.array_equal(np.asarray(jax_key_data(b("s"))), np.asarray(jax_key_data(k1)))
+    # independent streams: drawing from "other" does not perturb "s"
+    c = KeyChain(42)
+    c("other")
+    assert np.array_equal(np.asarray(jax_key_data(c("s"))), np.asarray(jax_key_data(k1)))
+    # checkpoint/restore of counters
+    st = a.state()
+    d = KeyChain(42)
+    d.restore(st)
+    assert np.array_equal(np.asarray(jax_key_data(d("s"))), np.asarray(jax_key_data(a("s"))))
+
+
+def jax_key_data(k):
+    import jax.random
+
+    return jax.random.key_data(k)
+
+
+def test_rundir_id_scheme(tmp_path):
+    r1 = RunDir("pso_discovery", "mnist", tmp_path / "reports", tmp_path / "models", tmp_path / "interim")
+    assert r1.name == "00001--pso_discovery"
+    r2 = RunDir("pso_discovery", "mnist", tmp_path / "reports", tmp_path / "models", tmp_path / "interim")
+    assert r2.name == "00002--pso_discovery"
+    # different module gets its own counter
+    r3 = RunDir("dcgan", "mnist", tmp_path / "reports", tmp_path / "models", tmp_path / "interim")
+    assert r3.name == "00001--dcgan"
+    assert get_next_run_id(tmp_path / "reports" / "mnist", "dcgan") == 2
+
+
+def test_rundir_snapshot(tmp_path):
+    cfg = load_config(CFG)
+    r = RunDir("dcgan", "mnist", tmp_path / "r", tmp_path / "m", tmp_path / "i")
+    r.snapshot_config(cfg)
+    assert (r.reports_dir / "configuration.yaml").exists()
+    r.write_timing({"training_time": 1.5})
+    assert (r.reports_dir / "timing.json").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "meta": {"epoch": 3}}
+    p = save_pytree(tmp_path / "ck.msgpack", tree)
+    out = load_pytree(p)
+    np.testing.assert_array_equal(out["w"], np.arange(6.0).reshape(2, 3))
+    assert out["meta"]["epoch"] == 3
+
+    ck = Checkpointer(tmp_path)
+    ck.save_every_epoch("g", 5, tree, loss=1.25)
+    loaded = ck.load("checkpoint_g.msgpack")
+    assert loaded["epoch"] == 5
+    assert loaded["loss"] == 1.25
+    assert ck.try_load("missing.msgpack") is None
+
+
+def test_format_time():
+    assert format_time(30) == "30s"
+    assert format_time(90) == "1m 30s"
+    assert format_time(3700) == "1h 01m 40s"
