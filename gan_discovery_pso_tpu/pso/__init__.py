@@ -1,0 +1,27 @@
+from gan_discovery_pso_tpu.pso.swarm import (
+    SwarmState,
+    PsoHistory,
+    SwarmResult,
+    swarm_init,
+    swarm_init_from_positions,
+    pso_iteration,
+    mean_pairwise_distance,
+    optimize,
+    optimize_jit,
+    last_iteration,
+)
+from gan_discovery_pso_tpu.pso.fitness import (
+    OPTIMIZE_IN,
+    OPTIMIZE_OUT,
+    assessor_posterior,
+    fitness_from_posterior,
+    make_discovery_fitness,
+    make_inverter_fitness,
+    make_analytic_fitness,
+)
+from gan_discovery_pso_tpu.pso import analytic
+from gan_discovery_pso_tpu.pso.io import (
+    save_particle_histories,
+    load_final_particle_positions,
+    load_particle_trajectories,
+)

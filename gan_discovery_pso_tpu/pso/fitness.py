@@ -1,0 +1,128 @@
+"""Fitness library: particle positions → scalar objective, batched over the
+whole swarm as one device program.
+
+Reproduces the reference `Discovery` fitness semantics exactly
+(reference src/pso/util_discovery.py:33-101) but with the generator and
+assessor forwards running over ALL particles at once on the MXU instead of
+batch-1 per particle:
+
+- positions [N,d] reshape to [N,d,1,1] latents (:33-43);
+- generator forward (eval mode), per-particle min-max rescale to [0,1]
+  (:45-50 → util_data.py:129-135, per-sample under batching);
+- assessor softmax posterior; multi-class nets index the class column via
+  class_to_idx, binary nets take column 1 (:69-74);
+- 'optimize_in_training'  → min(p + thr, 1) + eps
+  'optimize_out_training' → 1 − min(p + thr, 1) + eps, eps = 0.1 (:75-80);
+- the hybrid inverter fitness adds w_rec·MSE(source, raw G output) and a
+  second +eps (:84-101 — yes, eps is added twice there; reproduced).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.models.dcgan import generator_forward
+from gan_discovery_pso_tpu.models.resnet import ResNetDef, resnet_apply
+from gan_discovery_pso_tpu.ops import rescale01_per_sample
+
+OPTIMIZE_IN = "optimize_in_training"
+OPTIMIZE_OUT = "optimize_out_training"
+
+
+def assessor_posterior(logits: jax.Array, class_idx: int) -> jax.Array:
+    """softmax over classes; pick the target column (multi-class uses
+    class_to_idx, binary uses column 1 — util_discovery.py:69-74)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    if logits.shape[1] > 2:
+        return probs[:, class_idx]
+    return probs[:, 1]
+
+
+def fitness_from_posterior(
+    p: jax.Array, control: str, threshold: float = 0.0, eps: float = 0.1
+) -> jax.Array:
+    clipped = jnp.minimum(p + threshold, 1.0)
+    if control == OPTIMIZE_IN:
+        return clipped + eps
+    if control == OPTIMIZE_OUT:
+        return (1.0 - clipped) + eps
+    raise ValueError(control)
+
+
+def make_discovery_fitness(
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    class_idx: int,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    return_images: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """Swarm-batched discovery fitness. positions [N,d] → values [N]."""
+
+    def fitness(positions: jax.Array):
+        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+        img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
+        img01 = rescale01_per_sample(img)
+        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+        p = assessor_posterior(logits, class_idx)
+        vals = fitness_from_posterior(p, control, threshold, eps)
+        if return_images:
+            return vals, (img01, img)
+        return vals
+
+    return fitness
+
+
+def make_inverter_fitness(
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    source_images: jax.Array,
+    class_idx: int,
+    control: str = OPTIMIZE_IN,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    w_ass: float = 1.0,
+    w_rec: float = 1.0,
+) -> Callable[[jax.Array], jax.Array]:
+    """Hybrid PSO-inversion fitness (util_discovery.py:84-101): assessor term
+    + w_rec·MSE(source slice, raw G output). Each particle i owns source
+    image i (encoder-seeded init, util_pso.py:93-112). source_images
+    [N,C,H,W] in [-1,1]."""
+
+    def fitness(positions: jax.Array):
+        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+        img = generator_forward(gen_params, gen_state, z)
+        img01 = rescale01_per_sample(img)
+        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+        p = assessor_posterior(logits, class_idx)
+        f_ass = w_ass * fitness_from_posterior(p, control, threshold, eps)
+        # per-particle pixel MSE against its own source slice (raw G output,
+        # NOT the rescaled image — util_discovery.py:96-98)
+        f_rec = w_rec * jnp.mean(
+            (source_images.astype(jnp.float32) - img) ** 2, axis=(1, 2, 3)
+        )
+        # the reference adds eps a second time on the combined value (:101)
+        return f_ass + f_rec + eps
+
+    return fitness
+
+
+def make_analytic_fitness(fn: Callable[[jax.Array], jax.Array]):
+    """Wrap an analytic R^d → R objective for swarm batching (the golden-test
+    harness, reference src/hands_on/example_pso.py)."""
+
+    def fitness(positions: jax.Array):
+        return jax.vmap(fn)(positions)
+
+    return fitness

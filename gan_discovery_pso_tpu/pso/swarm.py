@@ -1,0 +1,311 @@
+"""Tensorized particle swarm: the whole swarm is one pytree of arrays and a
+PSO iteration is one fused device program.
+
+The reference keeps a Python list of `Particle` objects and walks it four
+times per iteration on the host, calling the fitness at BATCH SIZE 1 per
+particle (reference src/pso/util_pso.py:24-193, 114-133), with two
+host↔device transfers per particle per iteration
+(src/pso/util_discovery.py:58-82). Here:
+
+    SwarmState = positions[N,d], velocities[N,d], p_best_pos[N,d],
+                 p_best_val[N], g_best_pos[d], g_best_val[], ...
+
+and `optimize()` is a single jitted `lax.scan` over iterations in which the
+fitness (generator forward + assessor forward over ALL particles as one MXU
+batch), the personal/global best updates, the velocity/position math, and
+the mean-pairwise-distance diagnostic all fuse. Early stopping is an
+active-mask on the scan carry, preserving the reference's exact break
+semantics (util_pso.py:186-188) with static shapes.
+
+Reference semantics reproduced exactly (SURVEY.md §3.1):
+- velocity naming swap: the `w_cognitive` term couples the GLOBAL best and
+  the `w_social` term couples the PERSONAL best (util_pso.py:43-49);
+- r1, r2 are scalars per particle-update, not per-dimension (:45,47);
+- personal best evaluated BEFORE the move; global best from personal bests;
+  `g_best_val` appends only on improvement and the first improvement
+  overwrites the initial inf (:135-151);
+- early stop requires i > 2 AND ≥3 recorded improvements AND
+  |g[-1] − g[-2]| < tol (:186-188);
+- inertia schedule w ← 0.99·w applied from iteration 2 when enabled
+  (:72-74, :178-179);
+- init: pos ~ N(0,1)^d, vel = (N(0,1)−0.5)/10 (:30-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core.config import PsoConfig
+
+
+class SwarmState(NamedTuple):
+    positions: jax.Array  # [N, d]
+    velocities: jax.Array  # [N, d]
+    p_best_pos: jax.Array  # [N, d]
+    p_best_val: jax.Array  # [N]
+    g_best_pos: jax.Array  # [d]
+    g_best_val: jax.Array  # [] current best (inf before first improvement)
+    g_prev_val: jax.Array  # [] previous appended best (for the tol check)
+    g_improvements: jax.Array  # [] int32 == len(reference g_best_val list)
+    w_inertia: jax.Array  # [] scalar, mutable under schedule_inertia
+    iteration: jax.Array  # [] int32, 1-based like the reference loop
+    done: jax.Array  # [] bool early-stop latch
+
+
+class PsoHistory(NamedTuple):
+    """Per-iteration trajectory records ≡ the reference's per-particle
+    DataFrame pickles (util_pso.py:159-165) and history dict (:173,182-184),
+    as dense arrays: history rows past the stop iteration repeat the final
+    state (masked scan)."""
+
+    positions: jax.Array  # [iters, N, d] after each move
+    velocities: jax.Array  # [iters, N, d] after each move
+    fitness: jax.Array  # [iters, N] fitness evaluated at pre-move positions
+    mean_mse: jax.Array  # [iters] mean pairwise Euclidean distance
+    g_best_val: jax.Array  # [iters] best value after the iteration
+    g_best_dummy: jax.Array  # [iters] per-iteration candidate (:151)
+    active: jax.Array  # [iters] bool — False once early-stopped
+
+
+def swarm_init(
+    key: jax.Array, n_particles: int, dim_space: int, w_inertia: float
+) -> SwarmState:
+    """Random init matching Particle.__init__ (util_pso.py:30-37)."""
+    kp, kv = jax.random.split(key)
+    positions = jax.random.normal(kp, (n_particles, dim_space), jnp.float32)
+    velocities = (jax.random.normal(kv, (n_particles, dim_space), jnp.float32) - 0.5) / 10.0
+    return _state_from_positions(positions, velocities, w_inertia)
+
+
+def swarm_init_from_positions(
+    key: jax.Array, positions: jax.Array, w_inertia: float
+) -> SwarmState:
+    """Encoder-seeded init (pso_inverter): positions supplied (one per OoD
+    slice, util_pso.py:93-112), velocities still random."""
+    velocities = (jax.random.normal(key, positions.shape, jnp.float32) - 0.5) / 10.0
+    return _state_from_positions(positions.astype(jnp.float32), velocities, w_inertia)
+
+
+def _state_from_positions(positions, velocities, w_inertia) -> SwarmState:
+    n, d = positions.shape
+    return SwarmState(
+        positions=positions,
+        velocities=velocities,
+        p_best_pos=positions,
+        p_best_val=jnp.full((n,), jnp.inf, jnp.float32),
+        g_best_pos=jnp.zeros((d,), jnp.float32),
+        g_best_val=jnp.asarray(jnp.inf, jnp.float32),
+        g_prev_val=jnp.asarray(jnp.inf, jnp.float32),
+        g_improvements=jnp.asarray(1, jnp.int32),  # reference starts [inf]
+        w_inertia=jnp.asarray(w_inertia, jnp.float32),
+        iteration=jnp.asarray(1, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+
+def mean_pairwise_distance(positions: jax.Array) -> jax.Array:
+    """Mean Euclidean distance over unordered particle pairs — the reference's
+    O(N²) host 'mse' diagnostic (util_pso.py:76-86) as one device reduction.
+    (Mean over off-diagonal entries equals mean over unordered pairs.)"""
+    sq = jnp.sum(positions * positions, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        positions, positions.T, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    n = positions.shape[0]
+    mask = 1.0 - jnp.eye(n, dtype=positions.dtype)
+    return jnp.sum(jnp.sqrt(d2) * mask) / (n * (n - 1))
+
+
+def pso_iteration(
+    state: SwarmState,
+    fitness_vals: jax.Array,
+    r1: jax.Array,
+    r2: jax.Array,
+    hp: PsoConfig,
+) -> SwarmState:
+    """One PSO update given already-evaluated fitness at current positions.
+
+    r1, r2: [N] uniforms (scalar per particle, reference util_pso.py:45-47).
+    Pure and shape-static; fuses with the fitness evaluation under jit.
+    """
+    # 1) personal best (update_personal_best, :114-133)
+    improved = fitness_vals < state.p_best_val
+    p_best_val = jnp.where(improved, fitness_vals, state.p_best_val)
+    p_best_pos = jnp.where(improved[:, None], state.positions, state.p_best_pos)
+
+    # 2) global best (update_global_best, :135-151)
+    cand_idx = jnp.argmin(p_best_val)
+    cand_val = p_best_val[cand_idx]
+    g_improved = cand_val < state.g_best_val
+    first = jnp.isinf(state.g_best_val)
+    g_best_val = jnp.where(g_improved, cand_val, state.g_best_val)
+    g_best_pos = jnp.where(g_improved, p_best_pos[cand_idx], state.g_best_pos)
+    # list semantics: overwrite inf keeps length; real improvement appends
+    g_prev_val = jnp.where(g_improved & ~first, state.g_best_val, state.g_prev_val)
+    g_improvements = state.g_improvements + jnp.where(g_improved & ~first, 1, 0)
+
+    # 3) inertia schedule (update_inertia, :72-74; applied when i > 1, :178)
+    w = state.w_inertia
+    if hp.schedule_inertia:
+        w = jnp.where(state.iteration > 1, 0.99 * w, w)
+
+    # 4) move (update_velocity/update_position, :39-50) — NOTE the reference's
+    # naming swap: w_cognitive couples g_best, w_social couples p_best.
+    vel = (
+        w * state.velocities
+        + hp.w_cognitive * r1[:, None] * (g_best_pos[None, :] - state.positions)
+        + hp.w_social * r2[:, None] * (p_best_pos - state.positions)
+    )
+    pos = state.positions + vel
+
+    # 5) early-stop latch (checked after the move, :186-188)
+    tol_hit = jnp.abs(g_best_val - g_prev_val) < hp.tolerance
+    stop = (
+        (state.iteration > 2) & (g_improvements > 2) & tol_hit
+        if hp.early_stopping
+        else jnp.asarray(False)
+    )
+
+    return SwarmState(
+        positions=pos,
+        velocities=vel,
+        p_best_pos=p_best_pos,
+        p_best_val=p_best_val,
+        g_best_pos=g_best_pos,
+        g_best_val=g_best_val,
+        g_prev_val=g_prev_val,
+        g_improvements=g_improvements,
+        w_inertia=w,
+        iteration=state.iteration + 1,
+        done=state.done | stop,
+    )
+
+
+def optimize(
+    key: jax.Array,
+    fitness_fn: Callable[[jax.Array], jax.Array],
+    hp: PsoConfig,
+    init_positions: jax.Array | None = None,
+) -> tuple[SwarmState, PsoHistory]:
+    """Full swarm optimization as ONE jitted device program.
+
+    fitness_fn: positions [N,d] → values [N] (already batched over the swarm;
+    typically generator+assessor forwards — see pso/fitness.py).
+
+    Returns (final_state, history). `last_iteration(history)` recovers the
+    reference's returned iteration count.
+    """
+    init_key, iter_key = jax.random.split(key)
+    if init_positions is not None:
+        state0 = swarm_init_from_positions(init_key, init_positions, hp.w_inertia)
+    else:
+        state0 = swarm_init(init_key, hp.n_particles, hp.dim_space, hp.w_inertia)
+
+    def step(carry, it):
+        state = carry
+        k = jax.random.fold_in(iter_key, it)
+        k1, k2 = jax.random.split(k)
+        n = state.positions.shape[0]
+        r1 = jax.random.uniform(k1, (n,), jnp.float32)
+        r2 = jax.random.uniform(k2, (n,), jnp.float32)
+
+        fitness_vals = fitness_fn(state.positions)
+        new_state = pso_iteration(state, fitness_vals, r1, r2, hp)
+        # candidate value this iteration (g_best_val_dummy, :151)
+        dummy = jnp.min(new_state.p_best_val)
+        mmse = mean_pairwise_distance(new_state.positions)
+
+        # masked update: once done, freeze the carry (reference breaks out)
+        out_state = jax.tree.map(
+            lambda new, old: jnp.where(state.done, old, new), new_state, state
+        )
+        rec = PsoHistory(
+            positions=out_state.positions,
+            velocities=out_state.velocities,
+            fitness=fitness_vals,
+            mean_mse=jnp.where(state.done, jnp.nan, mmse),
+            g_best_val=out_state.g_best_val,
+            g_best_dummy=jnp.where(state.done, jnp.nan, dummy),
+            active=~state.done,
+        )
+        return out_state, rec
+
+    final_state, history = jax.lax.scan(
+        step, state0, jnp.arange(1, hp.n_iterations + 1)
+    )
+    return final_state, history, state0
+
+
+optimize_jit = jax.jit(optimize, static_argnames=("fitness_fn", "hp"))
+
+
+def last_iteration(history: PsoHistory) -> int:
+    """The reference's returned `i`: n_iterations+1 on natural exit, else the
+    iteration whose tolerance check broke the loop (util_pso.py:174-189)."""
+    active = jnp.asarray(history.active)
+    return int(jnp.sum(active)) + 1
+
+
+@dataclasses.dataclass
+class SwarmResult:
+    """Host-side unpack of optimize()'s (state, history, init_state) with the
+    reference's artifact contract (see pso/io.py for the pickle writers)."""
+
+    state: SwarmState
+    history: PsoHistory
+    init_state: SwarmState
+    hp: PsoConfig
+
+    @property
+    def g_best_pos(self):
+        return self.state.g_best_pos
+
+    @property
+    def g_best_val(self):
+        return self.state.g_best_val
+
+    @property
+    def last_iteration(self) -> int:
+        return last_iteration(self.history)
+
+    def _active_count(self) -> int:
+        import numpy as np
+
+        return int(np.asarray(self.history.active).sum())
+
+    def particle_trajectories(self):
+        """[n_active+1, N, d]: init positions + post-move positions per
+        iteration — the exact contents of Particle.history
+        (util_pso.py:34-41)."""
+        import numpy as np
+
+        n_act = self._active_count()
+        pos = np.asarray(self.history.positions)[:n_act]
+        return np.concatenate([np.asarray(self.init_state.positions)[None], pos], axis=0)
+
+    def velocity_trajectories(self):
+        """[n_active+1, N, d] ≡ Particle.history_vel (util_pso.py:36-37,50)."""
+        import numpy as np
+
+        n_act = self._active_count()
+        vel = np.asarray(self.history.velocities)[:n_act]
+        return np.concatenate([np.asarray(self.init_state.velocities)[None], vel], axis=0)
+
+    def history_dict(self):
+        """≡ the reference optimize() history dict
+        {'mean_mse': [...], 'global_best_val': [...]} (util_pso.py:173,182-184)
+        plus the per-iteration dummy series (:151)."""
+        import numpy as np
+
+        n_act = self._active_count()
+        return {
+            "mean_mse": list(np.asarray(self.history.mean_mse)[:n_act]),
+            "global_best_val": list(np.asarray(self.history.g_best_val)[:n_act]),
+            "global_best_dummy": list(np.asarray(self.history.g_best_dummy)[:n_act]),
+        }

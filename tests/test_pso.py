@@ -1,0 +1,204 @@
+"""PSO engine golden tests.
+
+`NumpySwarm` is a clean-room NumPy re-execution of the documented reference
+semantics (SURVEY.md §3.1; reference src/pso/util_pso.py) driven with the
+SAME r1/r2 streams and init as the tensorized engine — trajectories must
+agree to fp32 tolerance. Plus convergence on the analytic objectives the
+reference's hands-on harness uses (src/hands_on/example_pso.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core.config import PsoConfig
+from gan_discovery_pso_tpu.pso import (
+    analytic,
+    last_iteration,
+    make_analytic_fitness,
+    mean_pairwise_distance,
+    optimize,
+    pso_iteration,
+    swarm_init,
+    SwarmResult,
+)
+from gan_discovery_pso_tpu.pso.io import (
+    load_final_particle_positions,
+    load_particle_trajectories,
+    save_particle_histories,
+)
+
+
+class NumpySwarm:
+    """Reference-semantics PSO in NumPy (object-free, but same update order:
+    personal best → global best w/ list semantics → inertia → move)."""
+
+    def __init__(self, pos, vel, hp: PsoConfig):
+        self.pos = pos.copy()
+        self.vel = vel.copy()
+        self.hp = hp
+        self.w = hp.w_inertia
+        self.p_best_pos = pos.copy()
+        self.p_best_val = np.full(pos.shape[0], np.inf, np.float32)
+        self.g_best_pos = np.zeros(pos.shape[1], np.float32)
+        self.g_best_val = [np.inf]  # the reference's list
+        self.i = 1
+
+    def step(self, fit, r1, r2):
+        vals = np.array([fit(p) for p in self.pos], np.float32)
+        for n in range(len(self.pos)):
+            if vals[n] < self.p_best_val[n]:
+                self.p_best_val[n] = vals[n]
+                self.p_best_pos[n] = self.pos[n]
+        # global best with append/overwrite-inf list semantics
+        exp_val, exp_pos = self.g_best_val[-1], self.g_best_pos
+        for n in range(len(self.pos)):
+            if self.p_best_val[n] < exp_val:
+                exp_val, exp_pos = self.p_best_val[n], self.p_best_pos[n]
+        if exp_val < self.g_best_val[-1]:
+            if self.g_best_val[-1] == np.inf:
+                self.g_best_val[-1] = exp_val
+            else:
+                self.g_best_val.append(exp_val)
+            self.g_best_pos = exp_pos
+        if self.i > 1 and self.hp.schedule_inertia:
+            self.w = 0.99 * self.w
+        # move — w_cognitive couples g_best, w_social couples p_best (swap)
+        for n in range(len(self.pos)):
+            inertia = self.w * self.vel[n]
+            cogn = self.hp.w_cognitive * r1[n] * (self.g_best_pos - self.pos[n])
+            soci = self.hp.w_social * r2[n] * (self.p_best_pos[n] - self.pos[n])
+            self.vel[n] = inertia + soci + cogn
+            self.pos[n] = self.pos[n] + self.vel[n]
+        self.i += 1
+
+    def should_stop(self):
+        return (
+            self.i - 1 > 2
+            and len(self.g_best_val) > 2
+            and abs(self.g_best_val[-1] - self.g_best_val[-2]) < self.hp.tolerance
+        )
+
+
+HP = PsoConfig(n_iterations=20, n_particles=16, dim_space=4, w_inertia=0.73,
+               w_cognitive=1.496, w_social=1.496, tolerance=1e-5)
+
+
+def test_pso_iteration_matches_numpy_reference():
+    key = jax.random.key(0)
+    state = swarm_init(key, HP.n_particles, HP.dim_space, HP.w_inertia)
+    pos0 = np.asarray(state.positions)
+    vel0 = np.asarray(state.velocities)
+    ref = NumpySwarm(pos0, vel0, HP)
+
+    fit = lambda p: float(np.sum(p * p))
+    fit_batch = make_analytic_fitness(analytic.sphere)
+
+    rng = np.random.RandomState(7)
+    for it in range(1, 13):
+        r1 = rng.rand(HP.n_particles).astype(np.float32)
+        r2 = rng.rand(HP.n_particles).astype(np.float32)
+        vals = fit_batch(state.positions)
+        state = pso_iteration(state, vals, jnp.array(r1), jnp.array(r2), HP)
+        ref.step(fit, r1, r2)
+
+        np.testing.assert_allclose(np.asarray(state.positions), ref.pos, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(state.velocities), ref.vel, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(state.p_best_val), ref.p_best_val, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(float(state.g_best_val), ref.g_best_val[-1], rtol=2e-5)
+        assert int(state.g_improvements) == len(ref.g_best_val)
+        assert int(state.iteration) == ref.i
+
+
+def test_pso_iteration_matches_numpy_with_inertia_schedule():
+    hp = PsoConfig(n_iterations=10, n_particles=8, dim_space=3, w_inertia=1.0,
+                   w_cognitive=2.0, w_social=2.0, schedule_inertia=True)
+    key = jax.random.key(1)
+    state = swarm_init(key, hp.n_particles, hp.dim_space, hp.w_inertia)
+    ref = NumpySwarm(np.asarray(state.positions), np.asarray(state.velocities), hp)
+    fit_batch = make_analytic_fitness(analytic.cosine_mixture)
+    fit = lambda p: float(-0.1 * np.sum(np.cos(5 * np.pi * p)) + np.sum(p * p))
+    rng = np.random.RandomState(8)
+    for it in range(1, 8):
+        r1 = rng.rand(hp.n_particles).astype(np.float32)
+        r2 = rng.rand(hp.n_particles).astype(np.float32)
+        state = pso_iteration(state, fit_batch(state.positions), jnp.array(r1), jnp.array(r2), hp)
+        ref.step(fit, r1, r2)
+        np.testing.assert_allclose(float(state.w_inertia), ref.w, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.positions), ref.pos, rtol=3e-5, atol=3e-5)
+
+
+def test_optimize_converges_on_sphere():
+    hp = PsoConfig(n_iterations=50, n_particles=32, dim_space=2)
+    fit = make_analytic_fitness(analytic.sphere)
+    final, hist, init = optimize(jax.random.key(2), fit, hp)
+    assert float(final.g_best_val) < 1e-3
+    assert last_iteration(hist) == 51  # natural exit: n_iterations + 1
+    # g_best_val series is monotone non-increasing
+    series = np.asarray(hist.g_best_val)
+    assert np.all(np.diff(series) <= 1e-7)
+
+
+def test_optimize_converges_on_cosine_mixture():
+    hp = PsoConfig(n_iterations=60, n_particles=32, dim_space=2)
+    fit = make_analytic_fitness(analytic.cosine_mixture)
+    final, hist, _ = optimize(jax.random.key(3), fit, hp)
+    # global minimum is -0.2 at the origin
+    assert float(final.g_best_val) < -0.19
+
+
+def test_early_stopping_latches_and_freezes():
+    hp = PsoConfig(n_iterations=50, n_particles=32, dim_space=2, tolerance=1e-3,
+                   early_stopping=True)
+    fit = make_analytic_fitness(analytic.sphere)
+    final, hist, _ = optimize(jax.random.key(4), fit, hp)
+    li = last_iteration(hist)
+    assert li < 51  # stopped early
+    active = np.asarray(hist.active)
+    # active prefix then all-false suffix (latch never un-sets)
+    flips = np.diff(active.astype(int))
+    assert np.all(flips <= 0)
+    # frozen rows: positions after stop equal the last active row
+    pos = np.asarray(hist.positions)
+    n_act = int(active.sum())
+    if n_act < pos.shape[0]:
+        np.testing.assert_array_equal(pos[n_act], pos[n_act - 1])
+
+
+def test_mean_pairwise_distance_matches_loop():
+    rng = np.random.RandomState(9)
+    pos = rng.randn(10, 5).astype(np.float32)
+    want = np.mean([np.linalg.norm(pos[i] - pos[j]) for i in range(10) for j in range(i + 1, 10)])
+    got = float(mean_pairwise_distance(jnp.array(pos)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_particle_history_io_roundtrip(tmp_path):
+    hp = PsoConfig(n_iterations=10, n_particles=8, dim_space=3)
+    fit = make_analytic_fitness(analytic.sphere)
+    final, hist, init = optimize(jax.random.key(5), fit, hp)
+    res = SwarmResult(final, hist, init, hp)
+    traj = res.particle_trajectories()
+    vtraj = res.velocity_trajectories()
+    assert traj.shape == (11, 8, 3)  # init + 10 iterations
+
+    files = save_particle_histories(tmp_path, 3, traj, vtraj, kind="iid")
+    names = {f.name for f in files}
+    assert "particles_position_iid_class_3.pkl" in names
+    assert "particles_position_iic_class_3.pkl" in names  # reader-typo alias
+
+    last = load_final_particle_positions(tmp_path, 3, "iid")
+    np.testing.assert_allclose(last, traj[-1], rtol=1e-6)
+    full = load_particle_trajectories(tmp_path, 3, "iid")
+    np.testing.assert_allclose(full, traj, rtol=1e-6)
+
+    # pickle fallback path (reference reader shape)
+    (tmp_path / "particles_iid_class_3.npz").unlink()
+    last_pkl = load_final_particle_positions(tmp_path, 3, "iid")
+    np.testing.assert_allclose(last_pkl, traj[-1], rtol=1e-6)
+
+    hd = res.history_dict()
+    assert len(hd["mean_mse"]) == 10
+    assert len(hd["global_best_val"]) == 10
