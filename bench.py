@@ -1,0 +1,181 @@
+"""Headline benchmark: PSO fitness evals/sec/chip on the dcgan_mnist workload.
+
+Workload (BASELINE.md): 32-particle × 50-iteration PSO discovery where one
+fitness eval = one DCGAN-G forward + one ResNet50 forward (+ the full swarm
+update math). The reference executes this per particle at batch size 1 on
+the host loop (reference src/pso/util_pso.py:114-133,
+src/pso/util_discovery.py:45-82); the TPU framework runs the entire
+50-iteration optimize as one fused jitted program.
+
+Baseline: a torch-CPU re-creation of the reference's execution pattern
+(batch-1 G forward + batch-1 ResNet50 forward per particle, host update
+math), measured in-process and extrapolated from a few iterations.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_PARTICLES = 32
+N_ITERATIONS = 50
+DIM = 100
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# Torch CPU baseline: the reference's per-particle batch-1 pattern.
+# --------------------------------------------------------------------------
+
+
+def measure_torch_cpu_baseline(n_iters: int = 2) -> float:
+    """evals/sec of the reference execution pattern on torch CPU."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    f = 64
+    gen = nn.Sequential(
+        nn.ConvTranspose2d(DIM, f * 2, 7, 1, 0), nn.BatchNorm2d(f * 2), nn.ReLU(),
+        nn.ConvTranspose2d(f * 2, f, 4, 2, 1), nn.BatchNorm2d(f), nn.ReLU(),
+        nn.ConvTranspose2d(f, 1, 4, 2, 1), nn.Tanh(),
+    ).eval()
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, w, ds, s):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, w, 1, 1, 0, bias=False); self.b1 = nn.BatchNorm2d(w)
+            self.c2 = nn.Conv2d(w, w, 3, s, 1, bias=False); self.b2 = nn.BatchNorm2d(w)
+            self.c3 = nn.Conv2d(w, w * 4, 1, 1, 0, bias=False); self.b3 = nn.BatchNorm2d(w * 4)
+            self.ds = ds; self.act = nn.ReLU()
+
+        def forward(self, x):
+            i = x if self.ds is None else self.ds(x)
+            h = self.act(self.b1(self.c1(x)))
+            h = self.act(self.b2(self.c2(h)))
+            return self.act(self.b3(self.c3(h)) + i)
+
+    def make_layer(cin, w, n, s):
+        ds = nn.Sequential(nn.Conv2d(cin, w * 4, 1, s, bias=False), nn.BatchNorm2d(w * 4))
+        blocks = [Bottleneck(cin, w, ds, s)]
+        blocks += [Bottleneck(w * 4, w, None, 1) for _ in range(n - 1)]
+        return nn.Sequential(*blocks)
+
+    cnn = nn.Sequential(
+        nn.Conv2d(1, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64), nn.ReLU(),
+        nn.MaxPool2d(3, 2, 1),
+        make_layer(64, 64, 3, 1), make_layer(256, 128, 4, 2),
+        make_layer(512, 256, 6, 2), make_layer(1024, 512, 3, 2),
+        nn.AdaptiveMaxPool2d((1, 1)), nn.Flatten(1), nn.Linear(2048, 8),
+    ).eval()
+
+    rng = np.random.RandomState(0)
+    positions = rng.randn(N_PARTICLES, DIM).astype(np.float32)
+
+    def fitness_one(pos):
+        """The reference pattern: host→device, batch-1 G fwd, per-image
+        rescale, batch-1 CNN fwd, softmax, device→host."""
+        with torch.no_grad():
+            z = torch.from_numpy(pos).view(1, DIM, 1, 1)
+            img = gen(z)
+            img = (img - img.min()) / (img.max() - img.min())
+            out = torch.softmax(cnn(img), dim=1)[0]
+            p = out[2]
+            return float((1.0 - torch.minimum(p, torch.ones(()))) + 0.1)
+
+    # warmup
+    fitness_one(positions[0])
+    t0 = time.time()
+    evals = 0
+    for _ in range(n_iters):
+        for n in range(N_PARTICLES):
+            fitness_one(positions[n])
+            evals += 1
+        # host-side O(N^2) pairwise-distance diagnostic + update math
+        _ = np.mean(
+            [np.linalg.norm(positions[i] - positions[j])
+             for i in range(N_PARTICLES) for j in range(i + 1, N_PARTICLES)]
+        )
+        positions += 0.01 * rng.randn(*positions.shape).astype(np.float32)
+    dt = time.time() - t0
+    return evals / dt
+
+
+# --------------------------------------------------------------------------
+# TPU measurement: the fused jitted optimize.
+# --------------------------------------------------------------------------
+
+
+def measure_tpu(reps: int = 5) -> float:
+    import jax
+
+    # persistent compile cache: the 50-iteration fused program is large and
+    # its first XLA compile can take minutes over the tunnel; cache it across
+    # processes so driver re-runs are warm.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gan_discovery_pso_tpu.core import seed_all
+    from gan_discovery_pso_tpu.core.config import PsoConfig
+    from gan_discovery_pso_tpu.models import (
+        GeneratorDef,
+        ResNetDef,
+        generator_init,
+        resnet_init,
+    )
+    from gan_discovery_pso_tpu.pso import make_discovery_fitness, optimize
+
+    log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
+    keys = seed_all(42)
+    gp, gs = generator_init(keys("g"), GeneratorDef(z_dim=DIM))
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    rp, rs = resnet_init(keys("r"), rdef, init="glorot_normal")
+    fitness = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
+    hp = PsoConfig(n_iterations=N_ITERATIONS, n_particles=N_PARTICLES, dim_space=DIM)
+
+    run = jax.jit(lambda k: optimize(k, fitness, hp))
+    t0 = time.time()
+    out = run(keys("pso"))
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.time()
+        out = run(jax.random.key(i))
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    final = out[0]
+    log(f"best warm 50-iter optimize: {best * 1000:.1f} ms; "
+        f"g_best={float(final.g_best_val):.5f}")
+    return N_ITERATIONS * N_PARTICLES / best
+
+
+def main():
+    tpu_evals = measure_tpu()
+    log(f"tpu: {tpu_evals:.0f} evals/sec")
+    cpu_evals = measure_torch_cpu_baseline()
+    log(f"torch cpu reference pattern: {cpu_evals:.1f} evals/sec")
+    print(
+        json.dumps(
+            {
+                "metric": "pso_fitness_evals_per_sec_per_chip",
+                "value": round(tpu_evals, 1),
+                "unit": "evals/s (G fwd + ResNet50 fwd each, 32p x 50it dcgan_mnist)",
+                "vs_baseline": round(tpu_evals / cpu_evals, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from gan_discovery_pso_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    shard_leading,
+    replicated,
+    distributed_initialize_if_needed,
+)
+from gan_discovery_pso_tpu.parallel.swarm_sharding import (
+    swarm_state_sharding,
+    history_sharding,
+    make_sharded_optimize,
+    make_multi_swarm_optimize,
+)

@@ -1,0 +1,133 @@
+"""Sharded-swarm PSO: particles split across chips, params replicated.
+
+One PSO iteration needs exactly one cross-device exchange: the global-best
+(value, position) reduction over the particle axis (SURVEY.md §5.8). With
+`jit` + NamedSharding annotations GSPMD lowers the `argmin` + gather in
+pso_iteration to an all-reduce + broadcast riding ICI; everything else
+(fitness forwards, velocity/position math) is embarrassingly parallel over
+the local particle shard.
+
+Determinism: randomness is key-derived (counter-based), not device-stateful,
+so an 8-way sharded run produces bit-identical trajectories to a single
+device run — asserted in tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gan_discovery_pso_tpu.core.config import PsoConfig
+from gan_discovery_pso_tpu.pso.swarm import (
+    PsoHistory,
+    SwarmState,
+    optimize,
+)
+
+
+def swarm_state_sharding(mesh: Mesh, axis: str = "swarm") -> SwarmState:
+    """PartitionSpec tree for SwarmState: particle-indexed arrays sharded on
+    dim 0, global scalars/vectors replicated."""
+    sh = lambda spec: NamedSharding(mesh, spec)
+    return SwarmState(
+        positions=sh(P(axis)),
+        velocities=sh(P(axis)),
+        p_best_pos=sh(P(axis)),
+        p_best_val=sh(P(axis)),
+        g_best_pos=sh(P()),
+        g_best_val=sh(P()),
+        g_prev_val=sh(P()),
+        g_improvements=sh(P()),
+        w_inertia=sh(P()),
+        iteration=sh(P()),
+        done=sh(P()),
+    )
+
+
+def history_sharding(mesh: Mesh, axis: str = "swarm") -> PsoHistory:
+    sh = lambda spec: NamedSharding(mesh, spec)
+    return PsoHistory(
+        positions=sh(P(None, axis)),
+        velocities=sh(P(None, axis)),
+        fitness=sh(P(None, axis)),
+        mean_mse=sh(P()),
+        g_best_val=sh(P()),
+        g_best_dummy=sh(P()),
+        active=sh(P()),
+    )
+
+
+def make_sharded_optimize(
+    mesh: Mesh,
+    fitness_fn: Callable[[jax.Array], jax.Array],
+    hp: PsoConfig,
+    axis: str = "swarm",
+):
+    """jit-compiled optimize with the swarm axis sharded over `mesh`.
+
+    Returns run(key[, init_positions]) -> (final_state, history, init_state).
+    """
+    out_shardings = (
+        swarm_state_sharding(mesh, axis),
+        history_sharding(mesh, axis),
+        swarm_state_sharding(mesh, axis),
+    )
+
+    run = jax.jit(
+        lambda key: optimize(key, fitness_fn, hp),
+        out_shardings=out_shardings,
+    )
+
+    def run_seeded(key, init_positions=None):
+        if init_positions is None:
+            return run(key)
+        seeded = jax.jit(
+            lambda k, p: optimize(k, fitness_fn, hp, init_positions=p),
+            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
+            out_shardings=out_shardings,
+        )
+        return seeded(key, init_positions)
+
+    return run_seeded
+
+
+def make_multi_swarm_optimize(
+    fitness_fn_batched: Callable[[jax.Array, jax.Array], jax.Array],
+    hp: PsoConfig,
+    n_swarms: int,
+    mesh: Mesh | None = None,
+    axis: str = "swarm",
+):
+    """Independent swarms (one per IiD class / OoD patient) as a vmapped
+    leading axis, optionally sharded across chips.
+
+    The reference runs these as a sequential host loop
+    (src/training/pso_discovery.py:174) / bash sweep
+    (src/bash/start_pso_optimize.sh:3-16); swarms never communicate, so the
+    class axis is embarrassingly parallel (SURVEY.md §5.8 multi-swarm mode).
+
+    fitness_fn_batched(swarm_idx, positions[N,d]) -> [N] — closes over
+    per-swarm assessor params stacked on a leading axis.
+    """
+
+    def one(idx, key):
+        return optimize(key, lambda pos: fitness_fn_batched(idx, pos), hp)
+
+    vrun = jax.vmap(one, in_axes=(0, 0))
+
+    if mesh is None:
+        return jax.jit(
+            lambda keys: vrun(jnp.arange(n_swarms), keys)
+        )
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    state_sh = jax.tree.map(lambda _: sh(P(axis)), swarm_state_sharding(mesh, axis))
+    hist_sh = jax.tree.map(lambda _: sh(P(axis)), history_sharding(mesh, axis))
+    return jax.jit(
+        lambda keys: vrun(jnp.arange(n_swarms), keys),
+        in_shardings=(sh(P(axis)),),
+        out_shardings=(state_sh, hist_sh, state_sh),
+    )

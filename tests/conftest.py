@@ -2,12 +2,17 @@
 
 All unit/integration tests run on the CPU backend with an 8-device virtual
 topology so sharding/collective code paths are exercised without TPU
-hardware (SURVEY.md §4 test strategy). Must run before jax imports.
+hardware (SURVEY.md §4 test strategy).
+
+NB: this environment presets JAX_PLATFORMS=axon (a TPU tunnel plugin) and
+the plugin outranks a plain env override — `jax.config.update` after import
+is what actually pins the CPU backend. Without it the whole suite silently
+runs over the TPU tunnel (slow, single-device).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    f"test harness expected 8 virtual CPU devices, got {jax.devices()}"
+)
