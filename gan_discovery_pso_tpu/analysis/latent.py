@@ -1,0 +1,138 @@
+"""Latent-space analyses: projections, clustering, distance statistics.
+
+Host-side by design (these are offline, matplotlib/sklearn-shaped workloads,
+SURVEY.md §7 layer 7), mirroring reference src/utils/util_latent_analysis.py:
+
+- PCA (:16-43) and UMAP (:45-64; gated — this image lacks umap-learn, so a
+  clearly-labelled PCA fallback keeps pipelines runnable);
+- KMeans (:245-270) and GMM/EM (:272-300) with the same factory string
+  names ('kmeans' / 'em' / 'expectation_maximization', :8-14);
+- Voronoi regions with infinite-region reconstruction (:66-166);
+- `mutual_distance` — the O(N·M) pairwise loop (:316-328) vectorized;
+- `upload_pso_particles` equivalent lives in pso/io.py
+  (load_particle_trajectories / load_final_particle_positions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pca_project(data: np.ndarray, n_components: int = 2, return_model: bool = False):
+    from sklearn.decomposition import PCA
+
+    model = PCA(n_components=n_components)
+    out = model.fit_transform(np.asarray(data))
+    return (out, model) if return_model else out
+
+
+def umap_project(data: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
+                 min_dist: float = 0.1, random_state: int = 42):
+    """UMAP if umap-learn is installed; otherwise a labelled PCA fallback
+    (the projection consumers only need SOME 2-D embedding to plot)."""
+    try:
+        import umap  # type: ignore
+
+        reducer = umap.UMAP(
+            n_components=n_components, n_neighbors=n_neighbors,
+            min_dist=min_dist, random_state=random_state,
+        )
+        return reducer.fit_transform(np.asarray(data)), "umap"
+    except ImportError:
+        return pca_project(data, n_components), "pca-fallback"
+
+
+def get_clustering_algorithm(name: str, n_clusters: int, seed: int = 42):
+    """Factory matching the reference's names (util_latent_analysis.py:8-14 /
+    configs/dcgan_mnist.yaml:48)."""
+    from sklearn.cluster import KMeans
+    from sklearn.mixture import GaussianMixture
+
+    if name == "kmeans":
+        return KMeans(n_clusters=n_clusters, random_state=seed, n_init=10)
+    if name in ("em", "expectation_maximization"):
+        return GaussianMixture(n_components=n_clusters, random_state=seed)
+    raise ValueError(name)
+
+
+def cluster_latents(data: np.ndarray, algorithm: str, n_clusters: int, seed: int = 42):
+    """Fit + predict; returns (labels, centers, model). GMM centers are the
+    component means (reference :272-300)."""
+    model = get_clustering_algorithm(algorithm, n_clusters, seed)
+    labels = model.fit_predict(np.asarray(data))
+    centers = model.cluster_centers_ if hasattr(model, "cluster_centers_") else model.means_
+    return labels, centers, model
+
+
+def assign_to_clusters(model, data: np.ndarray) -> np.ndarray:
+    """Cluster assignment of new points (OoD-patient → discovered-cluster
+    mapping, reference src/training/pso_inverter_analysis.py:180-210)."""
+    return model.predict(np.asarray(data))
+
+
+def mutual_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All ‖a_i − b_j‖ pairs, flattened — the reference's nested loop
+    (util_latent_analysis.py:316-328) as one broadcast."""
+    a, b = np.asarray(a), np.asarray(b)
+    d = np.sqrt(np.maximum(
+        (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] - 2.0 * a @ b.T, 0.0
+    ))
+    return d.ravel()
+
+
+def pairwise_distances(a: np.ndarray) -> np.ndarray:
+    """Unordered within-set distances (reference Swarm.mse loop shape,
+    src/pso/util_pso.py:76-86)."""
+    a = np.asarray(a)
+    d = mutual_distance(a, a).reshape(len(a), len(a))
+    iu = np.triu_indices(len(a), k=1)
+    return d[iu]
+
+
+def voronoi_finite_polygons(points: np.ndarray, radius: float | None = None):
+    """2-D Voronoi regions with infinite regions closed at `radius` —
+    the reconstruction the reference plots (util_latent_analysis.py:66-166).
+    Returns (regions: list[list[int]], vertices: np.ndarray)."""
+    from scipy.spatial import Voronoi
+
+    vor = Voronoi(np.asarray(points))
+    if radius is None:
+        radius = np.ptp(vor.points, axis=0).max() * 2
+
+    center = vor.points.mean(axis=0)
+    new_vertices = vor.vertices.tolist()
+
+    # map ridge -> (points, vertices)
+    all_ridges: dict[int, list] = {}
+    for (p1, p2), (v1, v2) in zip(vor.ridge_points, vor.ridge_vertices):
+        all_ridges.setdefault(p1, []).append((p2, v1, v2))
+        all_ridges.setdefault(p2, []).append((p1, v1, v2))
+
+    new_regions = []
+    for p1, region_idx in enumerate(vor.point_region):
+        vertices = vor.regions[region_idx]
+        if all(v >= 0 for v in vertices):
+            new_regions.append(vertices)
+            continue
+        # reconstruct: keep finite vertices, extend each infinite ridge
+        ridges = all_ridges.get(p1, [])
+        new_region = [v for v in vertices if v >= 0]
+        for p2, v1, v2 in ridges:
+            if v2 < 0:
+                v1, v2 = v2, v1
+            if v1 >= 0:
+                continue  # finite ridge
+            tangent = vor.points[p2] - vor.points[p1]
+            tangent /= np.linalg.norm(tangent)
+            normal = np.array([-tangent[1], tangent[0]])
+            midpoint = vor.points[[p1, p2]].mean(axis=0)
+            direction = np.sign(np.dot(midpoint - center, normal)) * normal
+            far_point = vor.vertices[v2] + direction * radius
+            new_region.append(len(new_vertices))
+            new_vertices.append(far_point.tolist())
+        # order region vertices counterclockwise
+        vs = np.asarray([new_vertices[v] for v in new_region])
+        angles = np.arctan2(vs[:, 1] - vs[:, 1].mean(), vs[:, 0] - vs[:, 0].mean())
+        new_regions.append(list(np.asarray(new_region)[np.argsort(angles)]))
+
+    return new_regions, np.asarray(new_vertices)

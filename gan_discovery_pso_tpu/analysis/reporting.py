@@ -1,0 +1,280 @@
+"""Report artifacts: convergence plots, particle scatters, fitness
+landscapes, GIFs, image grids, training curves, ROC/CV evaluation.
+
+Host-side matplotlib/PIL mirroring reference src/utils/util_report.py,
+util_report_gan.py and the inverter report modules. The expensive part of
+the reference — `plot2d`'s ~100×100 mesh of batch-1 fitness evaluations
+(util_report.py:82-141) — becomes ONE batched device call through the same
+swarm fitness function.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+
+def plot_convergence(g_best_series, out_path, title="PSO convergence"):
+    """Global-best trajectory (reference util_report.py:23-29)."""
+    fig, ax = plt.subplots()
+    ax.plot(np.asarray(g_best_series))
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("global best fitness")
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_particle_dimensions(trajectories, out_dir, prefix="dim"):
+    """Per-latent-dimension particle scatter over iterations
+    (reference util_report.py:36-73). trajectories: [iters+1, N, d]."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tr = np.asarray(trajectories)
+    iters, n, d = tr.shape
+    paths = []
+    for dim in range(d):
+        fig, ax = plt.subplots()
+        for p in range(n):
+            ax.plot(np.arange(iters), tr[:, p, dim], alpha=0.4, lw=0.8)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel(f"position dim {dim}")
+        path = out_dir / f"{prefix}_{dim}.png"
+        fig.savefig(path, dpi=150, format="png")
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
+def plot_fitness_landscape_2d(
+    fitness_fn, center, out_path, positions=None, span=3.0, resolution=100
+):
+    """2-D fitness contour around `center` with particles overlaid
+    (reference plot2d, util_report.py:82-141 — there: 10k batch-1 forwards;
+    here: one fitness_fn call on the full [res², 2] mesh)."""
+    center = np.asarray(center)
+    xs = np.linspace(center[0] - span, center[0] + span, resolution)
+    ys = np.linspace(center[1] - span, center[1] + span, resolution)
+    gx, gy = np.meshgrid(xs, ys)
+    mesh = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+    vals = np.asarray(fitness_fn(mesh)).reshape(resolution, resolution)
+
+    fig, ax = plt.subplots()
+    cs = ax.contourf(gx, gy, vals, levels=30, cmap="viridis")
+    fig.colorbar(cs, ax=ax, label="fitness")
+    if positions is not None:
+        positions = np.asarray(positions)
+        ax.scatter(positions[:, 0], positions[:, 1], c="red", s=8, label="particles")
+        ax.legend()
+    ax.scatter([center[0]], [center[1]], marker="*", c="white", s=120)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def make_gif(frame_paths, out_path, duration_ms: int = 200):
+    """Frames → GIF (reference util_report.py:75-79, natsorted input)."""
+    from PIL import Image
+
+    frames = [Image.open(p) for p in frame_paths]
+    if not frames:
+        raise ValueError("no frames")
+    frames[0].save(
+        out_path, save_all=True, append_images=frames[1:], duration=duration_ms, loop=0
+    )
+    return Path(out_path)
+
+
+def plot_training_curves(history: dict, out_path, title="training"):
+    """Generic loss-curve plot from a dict of lists
+    (reference util_report.py:143-225 / util_report_gan.py)."""
+    fig, ax = plt.subplots()
+    for k, v in history.items():
+        v = [x for x in v if x is not None]
+        if v and all(isinstance(x, (int, float, np.floating)) for x in v):
+            ax.plot(v, label=k)
+    ax.set_xlabel("epoch/step")
+    ax.legend(fontsize=7)
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):
+    """Superimage grid writer (reference util_report_gan.py:50-87 /
+    util_data.save_dataset_images). images: [N, C, H, W]."""
+    imgs = np.asarray(images)
+    lo, hi = drange
+    imgs = np.clip((imgs - lo) / (hi - lo), 0, 1)
+    n, c, h, w = imgs.shape
+    nrows = -(-n // ncols)
+    canvas = np.zeros((nrows * h, ncols * w, c), np.float32)
+    for i in range(n):
+        r, cc = divmod(i, ncols)
+        canvas[r * h : (r + 1) * h, cc * w : (cc + 1) * w, :] = imgs[i].transpose(1, 2, 0)
+    fig, ax = plt.subplots(figsize=(ncols, nrows))
+    ax.imshow(canvas.squeeze(-1) if c == 1 else canvas, cmap="gray" if c == 1 else None)
+    ax.axis("off")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight", format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_scatter_2d(points, labels, out_path, title="", centers=None, extra=None):
+    """Labelled 2-D latent scatter (PCA/UMAP/cluster plots, reference
+    util_latent_analysis.py + analysis entries)."""
+    points = np.asarray(points)
+    labels = np.asarray(labels)
+    fig, ax = plt.subplots()
+    for lab in np.unique(labels):
+        m = labels == lab
+        ax.scatter(points[m, 0], points[m, 1], s=6, alpha=0.6, label=str(lab))
+    if centers is not None:
+        centers = np.asarray(centers)
+        ax.scatter(centers[:, 0], centers[:, 1], marker="x", c="black", s=80)
+    if extra is not None:
+        extra = np.asarray(extra)
+        ax.scatter(extra[:, 0], extra[:, 1], marker="^", c="red", s=30, label="ood")
+    ax.legend(fontsize=7, markerscale=2)
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_voronoi(points, out_path, labels=None, title="Voronoi"):
+    """Voronoi diagram with closed infinite regions
+    (reference util_latent_analysis.py:66-166)."""
+    from gan_discovery_pso_tpu.analysis.latent import voronoi_finite_polygons
+
+    points = np.asarray(points)
+    regions, vertices = voronoi_finite_polygons(points)
+    fig, ax = plt.subplots()
+    for region in regions:
+        poly = vertices[region]
+        ax.fill(*zip(*poly), alpha=0.3)
+    if labels is not None:
+        for lab in np.unique(labels):
+            m = np.asarray(labels) == lab
+            ax.scatter(points[m, 0], points[m, 1], s=10, label=str(lab))
+        ax.legend(fontsize=7)
+    else:
+        ax.scatter(points[:, 0], points[:, 1], s=10, c="black")
+    pad = 0.5
+    ax.set_xlim(points[:, 0].min() - pad, points[:, 0].max() + pad)
+    ax.set_ylim(points[:, 1].min() - pad, points[:, 1].max() + pad)
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_distance_histogram(distances, out_path, title="pairwise distances",
+                            bins: int = 50):
+    """Distance-distribution histogram (reference
+    src/training/pso_analysis_distance.py:169-228)."""
+    fig, ax = plt.subplots()
+    ax.hist(np.asarray(distances), bins=bins, color="steelblue", alpha=0.8)
+    ax.set_xlabel("euclidean distance")
+    ax.set_ylabel("count")
+    ax.set_title(title)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_posterior_polarization(p_yx, class_names, out_path, epoch=None):
+    """Sorted mean posterior activation per classifier
+    (reference util_gan_evaluation.py:139-155)."""
+    p = np.asarray(p_yx)
+    mean = p.mean(axis=0)
+    order = np.argsort(mean)
+    fig, ax = plt.subplots()
+    ax.plot(np.arange(len(order)), mean[order])
+    ax.set_xticks(np.arange(len(order)))
+    ax.set_xticklabels([str(class_names[i]) for i in order])
+    ax.set_xlabel("Classifier/Class")
+    ax.set_ylabel("Medium activation across samples")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+class CvEvaluator:
+    """ROC / metric aggregation across CV folds (the reference's `Eval`
+    class, util_report.py:303-466): accumulates per-fold scores and labels,
+    emits mean ROC with std band + summary metrics."""
+
+    def __init__(self):
+        self.fold_scores: list[np.ndarray] = []
+        self.fold_labels: list[np.ndarray] = []
+
+    def add_fold(self, y_true, y_score):
+        self.fold_labels.append(np.asarray(y_true))
+        self.fold_scores.append(np.asarray(y_score))
+
+    def summary(self) -> dict:
+        from sklearn.metrics import accuracy_score, f1_score, roc_auc_score
+
+        aucs, accs, f1s = [], [], []
+        for y, s in zip(self.fold_labels, self.fold_scores):
+            aucs.append(roc_auc_score(y, s))
+            preds = (s >= 0.5).astype(int)
+            accs.append(accuracy_score(y, preds))
+            f1s.append(f1_score(y, preds))
+        return {
+            "auc_mean": float(np.mean(aucs)), "auc_std": float(np.std(aucs)),
+            "acc_mean": float(np.mean(accs)), "f1_mean": float(np.mean(f1s)),
+        }
+
+    def plot_roc(self, out_path, title="ROC (CV)"):
+        from sklearn.metrics import roc_curve
+
+        mean_fpr = np.linspace(0, 1, 100)
+        tprs = []
+        fig, ax = plt.subplots()
+        for i, (y, s) in enumerate(zip(self.fold_labels, self.fold_scores)):
+            fpr, tpr, _ = roc_curve(y, s)
+            ax.plot(fpr, tpr, alpha=0.3, lw=1, label=f"fold {i}")
+            tprs.append(np.interp(mean_fpr, fpr, tpr))
+        mean_tpr = np.mean(tprs, axis=0)
+        std_tpr = np.std(tprs, axis=0)
+        ax.plot(mean_fpr, mean_tpr, "b-", lw=2, label="mean")
+        ax.fill_between(mean_fpr, mean_tpr - std_tpr, mean_tpr + std_tpr, alpha=0.2)
+        ax.plot([0, 1], [0, 1], "k--", lw=1)
+        ax.set_xlabel("FPR")
+        ax.set_ylabel("TPR")
+        ax.legend(fontsize=7)
+        ax.set_title(title)
+        fig.savefig(out_path, dpi=200, format="png")
+        plt.close(fig)
+        return Path(out_path)
+
+
+def error_reject_curve(y_true, y_score, out_path=None):
+    """Error vs reject-rate curve for the classifier battery (reference
+    src/training/classifiers.py:188-213): sort by confidence, progressively
+    reject the least confident, plot residual error."""
+    y_true, y_score = np.asarray(y_true), np.asarray(y_score)
+    conf = np.abs(y_score - 0.5)
+    order = np.argsort(conf)  # least confident first
+    errors = ((y_score >= 0.5).astype(int) != y_true)[order]
+    n = len(y_true)
+    reject_rates = np.arange(n) / n
+    residual_err = np.array([errors[k:].mean() if k < n else 0.0 for k in range(n)])
+    if out_path is not None:
+        fig, ax = plt.subplots()
+        ax.plot(reject_rates, residual_err)
+        ax.set_xlabel("reject rate")
+        ax.set_ylabel("error on accepted")
+        fig.savefig(out_path, dpi=200, format="png")
+        plt.close(fig)
+    return reject_rates, residual_err

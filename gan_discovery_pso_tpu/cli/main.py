@@ -1,0 +1,227 @@
+"""Command-line entry point: one subcommand per pipeline stage.
+
+Replaces the reference's 15 standalone scripts + bash sweep drivers
+(reference src/training/*.py, src/bash/start.sh:11-36,
+start_pso_optimize.sh:3-16) with a single CLI:
+
+    python -m gan_discovery_pso_tpu.cli <stage> --cfg configs/dcgan_mnist.yaml
+        [--set key=value ...] [--path-<upstream> DIR ...]
+
+Stages: cae, classifiers, dcgan, cnn, cnn-multipatient, pso-discovery,
+inverter, iid-extract, ood-extract, pso-inverter, regularize-inverter,
+regularize-inverter-statistics, vqvae, pso-analysis,
+pso-analysis-clustering, pso-analysis-distance, claro-preprocess, sweep.
+
+`sweep` runs the reference's latent-dim sweep (start.sh:11: dims
+{2,3,4,6,8,10,20,30,100}) or a per-patient sweep sequentially; each leg is
+an independent run dir.
+
+No interactivity anywhere (the reference's input() debug gates are gone,
+SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _parse_set(values):
+    """--set a.b.c=value (int/float/bool/list auto-coerced via yaml)."""
+    import yaml
+
+    out = {}
+    for item in values or []:
+        k, _, v = item.partition("=")
+        out[k] = yaml.safe_load(v)
+    return out
+
+
+def _add_common(p):
+    p.add_argument("--cfg", default="configs/dcgan_mnist.yaml")
+    p.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny-config smoke run (small models, capped data)")
+    p.add_argument("--limit", type=int, default=None, help="cap images per dataset")
+
+
+_TINY = {
+    "model_gan.network.units_gen": 8,
+    "model_gan.network.units_disc": 8,
+    "trainer_gan.z_dim": 8,
+    "trainer_pso.n_iterations": 4,
+    "trainer_pso.n_particles": 8,
+    "trainer_pso.dim_space": 8,
+    "model_inverter.latent_space": 8,
+    "model_ae.latent_space": 6,
+}
+
+
+def _ctx(args, module):
+    from gan_discovery_pso_tpu.pipelines import StageContext
+
+    overrides = _parse_set(args.set)
+    if args.tiny:
+        overrides = {**_TINY, **overrides}
+    ctx = StageContext.create(args.cfg, module, overrides=overrides)
+    if args.limit or args.tiny:
+        ctx.limit = args.limit or 512
+    return ctx
+
+
+def _epochs(args):
+    return 1 if args.tiny and args.epochs is None else args.epochs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gan-discovery-pso-tpu")
+    sub = parser.add_subparsers(dest="stage", required=True)
+
+    for name in (
+        "cae", "classifiers", "dcgan", "cnn", "cnn-multipatient", "pso-discovery",
+        "inverter", "iid-extract", "ood-extract", "pso-inverter",
+        "regularize-inverter", "regularize-inverter-statistics", "vqvae",
+        "pso-analysis", "pso-analysis-clustering", "pso-analysis-distance",
+        "claro-preprocess", "sweep",
+    ):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--epochs", type=int, default=None)
+        p.add_argument("--path-cae", default=None, help="cae stage model dir")
+        p.add_argument("--path-classifiers", default=None)
+        p.add_argument("--path-gan", default=None, help="dcgan stage model dir")
+        p.add_argument("--path-cnn", default=None, help="cnn stage model dir")
+        p.add_argument("--path-inverter", default=None)
+        p.add_argument("--path-pso", default=None, help="pso_discovery interim dir")
+        p.add_argument("--path-ood-pso", default=None, help="pso_inverter interim dir")
+        if name == "pso-inverter":
+            p.add_argument("--ood-patient", type=int, default=None)
+        if name == "sweep":
+            p.add_argument("--latent-dims", type=int, nargs="*",
+                           default=[2, 3, 4, 6, 8, 10, 20, 30, 100])
+            p.add_argument("--stages", nargs="*", default=["dcgan", "pso-discovery"])
+
+    args = parser.parse_args(argv)
+    return dispatch(args)
+
+
+def _load_gan(args):
+    from gan_discovery_pso_tpu.pipelines import load_gan
+
+    if not args.path_gan:
+        sys.exit("--path-gan required (models dir of a dcgan run)")
+    return load_gan(args.path_gan)
+
+
+def _load_cnn(args, ctx):
+    from gan_discovery_pso_tpu.models import ResNetDef
+    from gan_discovery_pso_tpu.pipelines import load_cnn
+
+    if not args.path_cnn:
+        sys.exit("--path-cnn required (models dir of a cnn-multipatient run)")
+    iid = tuple(ctx.data_cfg.iid_classes)
+    rdef = ResNetDef(str(ctx.cfg.model_cnn.model_name), ctx.data_cfg.channel,
+                     len(iid), iid)
+    params, state = load_cnn(args.path_cnn, rdef)
+    return params, state, rdef
+
+
+def dispatch(args):
+    stage = args.stage
+
+    if stage == "sweep":
+        # latent-dim sweep ≡ reference start.sh:11-36
+        for dim in args.latent_dims:
+            for leg in args.stages:
+                leg_args = argparse.Namespace(**vars(args))
+                leg_args.stage = leg
+                leg_args.set = list(args.set) + [
+                    f"trainer_gan.z_dim={dim}",
+                    f"trainer_pso.dim_space={dim}",
+                    f"model_inverter.latent_space={dim}",
+                ]
+                print(f"[sweep] latent_dim={dim} stage={leg}")
+                dispatch(leg_args)
+        return 0
+
+    from gan_discovery_pso_tpu import pipelines as P
+
+    module = stage.replace("-", "_")
+    ctx = _ctx(args, module)
+    with ctx.tee():
+        if stage == "cae":
+            P.run_cae(ctx, epochs=_epochs(args))
+        elif stage == "classifiers":
+            P.run_classifiers(ctx, cae_model_dir=args.path_cae)
+        elif stage == "dcgan":
+            cae_state = P.load_cae(args.path_cae) if args.path_cae else None
+            if cae_state is None:
+                sys.exit("--path-cae required")
+            from gan_discovery_pso_tpu.evaluation import load_battery
+
+            battery = load_battery(Path(args.path_classifiers) / "classifiers.msgpack")
+            P.run_dcgan(ctx, cae_state, battery, epochs=_epochs(args),
+                        n_synthetic=256 if args.tiny else None)
+        elif stage == "cnn":
+            P.run_cnn(ctx, epochs=_epochs(args))
+        elif stage == "cnn-multipatient":
+            P.run_cnn_multipatient(ctx, epochs=_epochs(args))
+        elif stage == "pso-discovery":
+            gp, gs = _load_gan(args)
+            cp, cs, rdef = _load_cnn(args, ctx)
+            P.run_pso_discovery(ctx, gp, gs, cp, cs, rdef)
+        elif stage == "inverter":
+            gp, gs = _load_gan(args)
+            cnn = None
+            if str(ctx.cfg.trainer_inverter.training_function) == "pix_fea_rec_adv":
+                cnn = _load_cnn(args, ctx)
+            P.run_inverter(ctx, gp, gs, cnn=cnn, epochs=_epochs(args))
+        elif stage in ("iid-extract", "ood-extract"):
+            enc = P.load_encoder(args.path_inverter)
+            P.run_extractor(ctx, enc, kind=stage.split("-")[0])
+        elif stage == "pso-inverter":
+            gp, gs = _load_gan(args)
+            enc = P.load_encoder(args.path_inverter)
+            cp, cs, rdef = _load_cnn(args, ctx)
+            P.run_pso_inverter(ctx, gp, gs, enc, cp, cs, rdef,
+                               ood_patient=getattr(args, "ood_patient", None),
+                               fine_tune_epochs=_epochs(args))
+        elif stage == "regularize-inverter":
+            gp, gs = _load_gan(args)
+            enc = P.load_encoder(args.path_inverter)
+            imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
+                               drange=(-1, 1)).images[:8]
+            P.run_regularize_inverter(ctx, gp, gs, enc, imgs,
+                                      iterations=50 if args.tiny else 500)
+        elif stage == "regularize-inverter-statistics":
+            gp, gs = _load_gan(args)
+            enc = P.load_encoder(args.path_inverter)
+            imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
+                               drange=(-1, 1)).images[:8]
+            P.run_regularize_inverter_statistics(
+                ctx, gp, gs, enc, imgs, pso_interim_dir=args.path_pso,
+                iterations=50 if args.tiny else 500)
+        elif stage == "vqvae":
+            gp, gs = _load_gan(args)
+            P.run_vqvae(ctx, gp, gs, pso_interim_dir=args.path_pso,
+                        epochs=_epochs(args))
+        elif stage == "pso-analysis":
+            P.run_pso_analysis(ctx, args.path_pso)
+        elif stage == "pso-analysis-clustering":
+            P.run_pso_analysis_clustering(
+                ctx, args.path_pso, ood_interim_dir=args.path_ood_pso,
+                ood_labels=tuple(ctx.data_cfg.ood_classes) if args.path_ood_pso else None)
+        elif stage == "pso-analysis-distance":
+            P.run_pso_analysis_distance(ctx, args.path_pso)
+        elif stage == "claro-preprocess":
+            sys.exit("claro-preprocess needs slice ids; use the pipelines API "
+                     "(run_claro_preprocess) with your patient manifest")
+        else:
+            sys.exit(f"unknown stage {stage}")
+    print(f"[{stage}] done → {ctx.run.reports_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,3 +1,17 @@
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compile cache: the fused optimize/train programs take
+# 30-150 s to compile over the TPU tunnel; caching makes every process after
+# the first warm. Opt out with GDPT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GDPT_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("GDPT_COMPILE_CACHE", "/tmp/jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gan_discovery_pso_tpu.core.config import Config, PsoConfig, load_config
 from gan_discovery_pso_tpu.core.prng import KeyChain, seed_all
 from gan_discovery_pso_tpu.core.rundir import RunDir, get_next_run_id

@@ -23,11 +23,14 @@ from flax import serialization
 
 
 def save_pytree(path: str | Path, tree: Any) -> Path:
-    """Atomically serialize a pytree of arrays/scalars/dicts to msgpack."""
+    """Atomically serialize a pytree of arrays/scalars/dicts to msgpack.
+
+    NamedTuples (e.g. BatchNormStats, optax states) are flattened to plain
+    dicts keyed by field name; loaders restore their concrete types
+    (ops.BatchNormStats has a `{mean, var}` signature loaders match on)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    # Pull device arrays to host once, as numpy.
-    host_tree = jax.tree.map(_to_host, tree)
+    host_tree = _plainify(tree)
     blob = serialization.msgpack_serialize(host_tree)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
@@ -52,6 +55,33 @@ def _to_host(x):
     if isinstance(x, jax.Array):
         return np.asarray(x)
     return x
+
+
+def restore_tree(node):
+    """Inverse of `_plainify` for loaded checkpoints: lifts `{mean, var}`
+    dicts back to BatchNormStats and materializes arrays as jnp."""
+    from gan_discovery_pso_tpu.ops import BatchNormStats
+
+    if isinstance(node, dict):
+        if set(node) == {"mean", "var"}:
+            return BatchNormStats(jnp.asarray(node["mean"]), jnp.asarray(node["var"]))
+        return {k: restore_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [restore_tree(v) for v in node]
+    if isinstance(node, np.ndarray):
+        return jnp.asarray(node)
+    return node
+
+
+def _plainify(node):
+    """Recursively: NamedTuple → dict, tuple/list → list, arrays → numpy."""
+    if hasattr(node, "_fields"):  # NamedTuple
+        return {f: _plainify(getattr(node, f)) for f in node._fields}
+    if isinstance(node, dict):
+        return {k: _plainify(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [_plainify(v) for v in node]
+    return _to_host(node)
 
 
 class Checkpointer:

@@ -191,13 +191,20 @@ class DataConfig:
 
     @classmethod
     def from_config(cls, block: Mapping[str, Any]) -> "DataConfig":
+        def as_classes(v):
+            # claro_preprocess.yaml uses dataset-name strings here
+            # (configs/claro_preprocess.yaml:14-15); keep them as 1-tuples.
+            if isinstance(v, str):
+                return (v,)
+            return tuple(v) if v is not None else ()
+
         return cls(
             image_size=int(block["image_size"]),
             channel=int(block["channel"]),
-            drange_net=tuple(block["drange_net"]),
+            drange_net=tuple(block.get("drange_net") or (-1, 1)),
             dataset=str(block["dataset"]),
-            iid_classes=tuple(block["iid_classes"]),
-            ood_classes=tuple(block["ood_classes"]),
+            iid_classes=as_classes(block.get("iid_classes")),
+            ood_classes=as_classes(block.get("ood_classes")),
             data_dir=str(block.get("data_dir", "./data/data_raw")),
             interim_dir=str(block.get("interim_dir", "./data/interim")),
             model_dir=str(block.get("model_dir", "./models")),

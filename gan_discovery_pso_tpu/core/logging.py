@@ -79,12 +79,23 @@ class MetricsWriter:
     dict-of-lists (the shape downstream reporting consumes, matching the
     reference's history dicts, src/utils/util_dcgan.py:176)."""
 
-    def __init__(self, out_dir: str | Path, name: str = "history"):
+    def __init__(self, out_dir: str | Path, name: str = "history",
+                 tensorboard: bool = False):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.name = name
         self._rows: list[dict] = []
         self._jsonl = open(self.out_dir / f"{name}.jsonl", "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            # optional TB sink (the reference logs scalars + image grids to
+            # TB, src/utils/util_dcgan.py:156-160,285-297)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.out_dir / "logs" / name))
+            except ImportError:
+                pass
 
     def append(self, step: int, **metrics) -> None:
         row = {"step": int(step)}
@@ -92,6 +103,10 @@ class MetricsWriter:
             row[k] = float(np.asarray(v))
         self._rows.append(row)
         self._jsonl.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, global_step=row["step"])
 
     def history(self) -> dict[str, list]:
         keys = sorted({k for r in self._rows for k in r})
@@ -109,6 +124,8 @@ class MetricsWriter:
     def close(self):
         self.flush_csv()
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Notifier:

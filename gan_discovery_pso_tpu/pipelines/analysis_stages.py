@@ -1,0 +1,161 @@
+"""Analysis pipeline stages (reference src/training/pso_analysis*.py,
+pso_inverter_analysis.py, and src/data/dataset_preparation.py).
+
+All host-side: they consume the particle artifacts written by the discovery
+/ inverter / extractor stages and emit plots + summaries.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from gan_discovery_pso_tpu.analysis import (
+    assign_to_clusters,
+    cluster_latents,
+    mutual_distance,
+    pairwise_distances,
+    pca_project,
+    reporting,
+    umap_project,
+)
+from gan_discovery_pso_tpu.pipelines.context import StageContext
+from gan_discovery_pso_tpu.pso import (
+    load_final_particle_positions,
+    load_particle_trajectories,
+)
+
+
+def _stack_classes(interim_dir, classes, kind="iid"):
+    """Final positions of every class stacked: ([sum_N, d], labels)."""
+    mats, labels = [], []
+    for c in classes:
+        m = load_final_particle_positions(interim_dir, c, kind)
+        mats.append(m)
+        labels.append(np.full(len(m), c))
+    return np.concatenate(mats, 0), np.concatenate(labels, 0)
+
+
+def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None, kind: str = "iid"):
+    """Per-iteration PCA/UMAP projections + GIFs of the swarm trajectories
+    (reference pso_analysis.py:92-124)."""
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+
+    # final-iteration projections across classes
+    data, labels = _stack_classes(pso_interim_dir, classes, kind)
+    p2 = pca_project(data, 2)
+    reporting.plot_scatter_2d(p2, labels, ctx.run.reports_dir / f"pca_{kind}.png",
+                              title=f"PCA of {kind} particles")
+    u2, method = umap_project(data, 2)
+    reporting.plot_scatter_2d(u2, labels, ctx.run.reports_dir / f"umap_{kind}.png",
+                              title=f"{method} of {kind} particles")
+
+    # per-iteration GIF for the first class (trajectory evolution)
+    traj = load_particle_trajectories(pso_interim_dir, classes[0], kind)
+    frames_dir = ctx.run.reports_dir / f"proj_iters_class_{classes[0]}"
+    frames_dir.mkdir(parents=True, exist_ok=True)
+    from sklearn.decomposition import PCA
+
+    model = PCA(n_components=2).fit(traj.reshape(-1, traj.shape[-1]))
+    frames = []
+    step = max(1, traj.shape[0] // 20)
+    for it in range(0, traj.shape[0], step):
+        pts = model.transform(traj[it])
+        frames.append(
+            reporting.plot_scatter_2d(
+                pts, np.zeros(len(pts), int),
+                frames_dir / f"iter_{it:03d}.png", title=f"iteration {it}",
+            )
+        )
+    reporting.make_gif(frames, ctx.run.reports_dir / f"pca_iters_class_{classes[0]}.gif")
+    return {"pca": p2, "umap": u2, "labels": labels}
+
+
+def run_pso_analysis_clustering(
+    ctx: StageContext, pso_interim_dir, ood_interim_dir=None,
+    classes=None, ood_labels=None, algorithm=None, kind: str = "iid",
+):
+    """Cluster discovered particles; optionally overlay / assign OoD latents
+    (reference pso_analysis_clustering.py:174-228,
+    pso_inverter_analysis.py:180-210)."""
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    if algorithm is None:
+        algorithm = str(ctx.cfg.trainer_pso_analysis.clustering_algorithm)
+
+    data, labels = _stack_classes(pso_interim_dir, classes, kind)
+    cl_labels, centers, model = cluster_latents(data, algorithm, len(classes),
+                                                seed=int(ctx.cfg.get("seed", 42) or 42))
+    p2 = pca_project(np.vstack([data, centers]), 2)
+    reporting.plot_scatter_2d(
+        p2[: len(data)], cl_labels, ctx.run.reports_dir / "clusters.png",
+        title=f"{algorithm} clusters", centers=p2[len(data):],
+    )
+    if data.shape[1] == 2:
+        reporting.plot_voronoi(centers, ctx.run.reports_dir / "voronoi.png",
+                               title="cluster Voronoi")
+
+    result = {"cluster_labels": cl_labels, "centers": centers}
+    if ood_interim_dir is not None and ood_labels:
+        ood_data, ood_lab = _stack_classes(ood_interim_dir, ood_labels, "ood")
+        assignment = assign_to_clusters(model, ood_data)
+        result["ood_assignment"] = assignment
+        p_all = pca_project(np.vstack([data, ood_data]), 2)
+        reporting.plot_scatter_2d(
+            p_all[: len(data)], cl_labels,
+            ctx.run.reports_dir / "clusters_with_ood.png",
+            title="clusters + OoD", extra=p_all[len(data):],
+        )
+        import json
+
+        with open(ctx.run.reports_dir / "ood_cluster_assignment.json", "w") as f:
+            json.dump({str(l): int(a) for l, a in zip(ood_lab, assignment)}, f)
+    return result
+
+
+def run_pso_analysis_distance(ctx: StageContext, pso_interim_dir, classes=None,
+                              kind: str = "iid"):
+    """Within-class pairwise and cross-class mutual distance distributions
+    (reference pso_analysis_distance.py:169-228)."""
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    summary = {}
+    mats = {c: load_final_particle_positions(pso_interim_dir, c, kind) for c in classes}
+    for c in classes:
+        d = pairwise_distances(mats[c])
+        reporting.plot_distance_histogram(
+            d, ctx.run.reports_dir / f"pairwise_class_{c}.png",
+            title=f"class {c} pairwise",
+        )
+        summary[f"within_{c}"] = {"mean": float(d.mean()), "std": float(d.std())}
+    for i, a in enumerate(classes):
+        for b in classes[i + 1:]:
+            d = mutual_distance(mats[a], mats[b])
+            summary[f"between_{a}_{b}"] = {"mean": float(d.mean()), "std": float(d.std())}
+    import json
+
+    with open(ctx.run.reports_dir / "distance_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def run_claro_preprocess(ctx: StageContext, slice_ids=None, boxes=None):
+    """CLARO CT export stage (reference src/data/dataset_preparation.py +
+    configs/claro_preprocess.yaml): preprocess per-patient TIFF slices and
+    export normalized TIFFs for GAN training."""
+    from gan_discovery_pso_tpu.data import ClipSpec, prepare_patient_dataset
+
+    cfg = ctx.cfg
+    clip = cfg.data.get("clip")
+    scale = cfg.data.get("scale")
+    clip = ClipSpec(float(clip["min"]), float(clip["max"])) if clip else None
+    scale = ClipSpec(float(scale["min"]), float(scale["max"])) if scale else None
+    if slice_ids is None:
+        raise ValueError("slice_ids required (patient_img identifiers)")
+    stack, meta = prepare_patient_dataset(
+        ctx.data_cfg.data_dir, ctx.data_cfg.dataset, slice_ids,
+        ctx.data_cfg.image_size, boxes=boxes, clip=clip, scale=scale,
+        out_dir=ctx.run.interim_dir / "tiff_export",
+    )
+    np.savez_compressed(ctx.run.interim_dir / "claro_preprocessed.npz",
+                        images=stack)
+    return stack, meta

@@ -1,0 +1,129 @@
+"""PSO discovery stage — the flagship pipeline.
+
+Per IiD class: load the trained generator + assessor, run the fused swarm
+optimize on device, then emit the reference's artifact set
+(reference src/training/pso_discovery.py:174-254):
+
+- particle position/velocity pickles (incl. the `iic` alias) + npz,
+- convergence plot, per-dimension particle plots,
+- 2-D fitness-landscape contours + GIF when dim_space == 2
+  (reference :226-237 — the mesh is one batched device call here),
+- timing.json (replaces timing.pkl, :246-251).
+
+Unlike the reference's sequential host loop over classes, classes can run
+as independent swarms; cross-class parallelism is available through
+parallel.make_multi_swarm_optimize when assessor params are stacked.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_discovery_pso_tpu.core.config import PsoConfig
+from gan_discovery_pso_tpu.models.resnet import ResNetDef
+from gan_discovery_pso_tpu.pipelines.context import StageContext
+from gan_discovery_pso_tpu.pso import (
+    OPTIMIZE_OUT,
+    SwarmResult,
+    make_discovery_fitness,
+    make_discovery_fitness_dynamic,
+    optimize,
+    save_particle_histories,
+)
+from gan_discovery_pso_tpu.analysis import reporting
+
+
+def run_pso_discovery(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    classes=None,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    make_plots: bool = True,
+) -> dict:
+    """Returns {class_label: SwarmResult}. Models are passed in (the CLI
+    layer resolves them from prerequisite run dirs)."""
+    hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
+    if classes is None:
+        classes = ctx.data_cfg.iid_classes
+    c2i = cnn_def.class_to_idx()
+
+    ctx.notify("pso_discovery_start", classes=list(classes), hp=repr(hp))
+    results: dict = {}
+    timings: dict = {}
+    # class index is a runtime arg: ONE compiled optimize serves every class
+    fitness_dyn = make_discovery_fitness_dynamic(
+        gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+        control=control, threshold=threshold,
+    )
+    run = jax.jit(
+        lambda k, ci: optimize(k, lambda pos: fitness_dyn(pos, ci), hp)
+    )
+    for label in classes:
+        t0 = time.time()
+        fitness = lambda pos, ci=c2i.get(label, 1): fitness_dyn(pos, ci)
+        final, hist, init = run(
+            ctx.keys.child(f"class_{label}")("pso"),
+            jnp.asarray(c2i.get(label, 1), jnp.int32),
+        )
+        jax.block_until_ready(final)
+        res = SwarmResult(final, hist, init, hp)
+        results[label] = res
+        timings[f"training_time_class_{label}"] = time.time() - t0
+
+        # --- artifacts (reference :222-240)
+        save_particle_histories(
+            ctx.run.interim_dir, label,
+            res.particle_trajectories(), res.velocity_trajectories(), kind="iid",
+        )
+        if make_plots:
+            hd = res.history_dict()
+            reporting.plot_convergence(
+                hd["global_best_val"],
+                ctx.run.reports_dir / f"convergence_class_{label}.png",
+                title=f"class {label}",
+            )
+            reporting.plot_particle_dimensions(
+                res.particle_trajectories(),
+                ctx.run.reports_dir / f"dims_class_{label}",
+            )
+            if hp.dim_space == 2:
+                _landscape_gif(ctx, fitness, res, label)
+        print(
+            f"[pso_discovery] class {label}: g_best={float(res.g_best_val):.5f} "
+            f"iters={res.last_iteration} in {timings[f'training_time_class_{label}']:.1f}s"
+        )
+
+    ctx.run.write_timing(timings)
+    ctx.notify("pso_discovery_done")
+    return results
+
+
+def _landscape_gif(ctx: StageContext, fitness, res: SwarmResult, label):
+    """Per-iteration 2-D fitness contours + GIF (reference :226-237,
+    util_report.py:82-141) — the mesh fitness is ONE device call."""
+    out_dir = ctx.run.reports_dir / f"landscape_class_{label}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    traj = res.particle_trajectories()  # [iters+1, N, 2]
+    center = np.asarray(res.g_best_pos)
+    frames = []
+    for it in range(traj.shape[0]):
+        frames.append(
+            reporting.plot_fitness_landscape_2d(
+                lambda mesh: np.asarray(fitness(jax.numpy.asarray(mesh))),
+                center=center,
+                out_path=out_dir / f"iter_{it:03d}.png",
+                positions=traj[it],
+                resolution=60,
+            )
+        )
+    reporting.make_gif(frames, ctx.run.reports_dir / f"landscape_class_{label}.gif")

@@ -1,0 +1,628 @@
+"""Pipeline stages: cae, classifiers, dcgan, cnn(±multipatient), inverter,
+extractors, pso_inverter, regularize_inverter(±statistics), vqvae.
+
+One function per reference entry script (reference src/training/*.py),
+consuming a StageContext and upstream artifacts, producing the reference's
+artifact contract into the stage's run dirs. Execution order follows
+reference readme_cnr.txt:46-87:
+
+    cae → classifiers → dcgan → cnn/cnn_multipatient → pso_discovery →
+    inverter → iid/ood_extractor → pso_inverter →
+    regularize_inverter(_statistics) → vq_vae → analyses
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_discovery_pso_tpu.analysis import reporting
+from gan_discovery_pso_tpu.core.config import AdamConfig, PsoConfig
+from gan_discovery_pso_tpu.data import train_val_split
+from gan_discovery_pso_tpu.evaluation import (
+    evaluate_gan_epoch,
+    save_battery,
+    train_classifier_battery,
+)
+from gan_discovery_pso_tpu.models import (
+    CAEDef,
+    DiscriminatorDef,
+    EncoderDef,
+    GeneratorDef,
+    ResNetDef,
+    VQVAEGanDef,
+    encoder_init,
+)
+from gan_discovery_pso_tpu.models.encoder import encoder_apply
+from gan_discovery_pso_tpu.pipelines.context import StageContext
+from gan_discovery_pso_tpu.pso import (
+    OPTIMIZE_IN,
+    SwarmResult,
+    make_inverter_fitness,
+    optimize,
+    save_particle_histories,
+    load_final_particle_positions,
+)
+from gan_discovery_pso_tpu.train import (
+    cae_init,
+    gan_init,
+    invert,
+    invert_bn,
+    make_cae_steps,
+    make_gan_train_step,
+    make_pix_fea_rec_adv_step,
+    make_pix_rec_step,
+    make_sampler,
+    train_cnn,
+    train_vqvae,
+    vqvae_init,
+)
+from gan_discovery_pso_tpu.train.cae import encode_dataset, save_encoded_samples_csv
+from gan_discovery_pso_tpu.train.common import make_optimizer
+from gan_discovery_pso_tpu.train.inverter import PixFeaRecAdvState, PixRecState
+
+
+# ---------------------------------------------------------------------------
+# CAE stage (reference src/training/cae.py)
+# ---------------------------------------------------------------------------
+
+
+def run_cae(ctx: StageContext, epochs: int | None = None):
+    cfg = ctx.cfg
+    d = CAEDef(latent_dim=int(cfg.model_ae.latent_space))
+    adam = AdamConfig.from_config(cfg.trainer_ae.optimizer)
+    bs = int(cfg.trainer_ae.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer_ae.epochs)
+    task = str(cfg.model_ae.task)
+    noise_factor = float(cfg.model_ae.get("noise_factor", 0.3) or 0.3)
+
+    ds = ctx.dataset("train", drange=(0, 1))
+    val = ctx.dataset("test", drange=(0, 1))
+
+    from gan_discovery_pso_tpu.train.cae import train_cae
+
+    state, history = train_cae(
+        ctx.keys("cae"), d, adam,
+        ctx.batches(ds, bs), ctx.batches(val, bs),
+        num_epochs=epochs, task=task, noise_factor=noise_factor,
+        metrics_writer=ctx.metrics("history_cae"),
+    )
+    # artifact contract: encoder.pt/decoder.pt (reference cae.py:205-206)
+    ctx.ckpt.save_state_dict("encoder", {"params": state.enc_params, "state": state.enc_state})
+    ctx.ckpt.save_state_dict("decoder", {"params": state.dec_params, "state": state.dec_state})
+    # encoded_samples_train.csv (reference cae.py:214)
+    emb = encode_dataset(state, ds.images)
+    save_encoded_samples_csv(
+        ctx.run.interim_dir / "encoded_samples_train.csv", emb, np.asarray(ds.labels)
+    )
+    reporting.plot_training_curves(history, ctx.run.reports_dir / "cae_training.png")
+    return state, history
+
+
+def load_cae(model_dir: str | Path):
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree, restore_tree
+    from gan_discovery_pso_tpu.train.cae import CaeTrainState
+
+    enc = restore_tree(load_pytree(Path(model_dir) / "encoder.msgpack"))
+    dec = restore_tree(load_pytree(Path(model_dir) / "decoder.msgpack"))
+    return CaeTrainState(
+        enc["params"], enc["state"], dec["params"], dec["state"], None,
+        jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier battery stage (reference src/training/classifiers.py)
+# ---------------------------------------------------------------------------
+
+
+def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
+    if cae_state is None:
+        cae_state = load_cae(cae_model_dir)
+    ds = ctx.dataset("train", drange=(0, 1))
+    emb = encode_dataset(cae_state, ds.images)
+    battery = train_classifier_battery(emb, np.asarray(ds.labels), k=3)
+    save_battery(ctx.run.models_dir / "classifiers.msgpack", battery)
+
+    # error-reject curve on the val split for one representative class
+    val = ctx.dataset("test", drange=(0, 1))
+    vemb = encode_dataset(cae_state, val.images)
+    from gan_discovery_pso_tpu.evaluation import compute_posterior
+
+    p_yx = np.asarray(compute_posterior(battery, jnp.asarray(vemb)))
+    classes = np.asarray(battery.classes)
+    y_true = (np.asarray(val.labels) == classes[0]).astype(int)
+    reporting.error_reject_curve(
+        y_true, p_yx[:, 0], ctx.run.reports_dir / "error_reject.png"
+    )
+    return battery
+
+
+# ---------------------------------------------------------------------------
+# DCGAN stage (reference src/training/dcgan.py + util_dcgan.train)
+# ---------------------------------------------------------------------------
+
+
+def run_dcgan(
+    ctx: StageContext,
+    cae_state,
+    battery,
+    epochs: int | None = None,
+    n_synthetic: int | None = None,
+    resume: bool = False,
+):
+    cfg = ctx.cfg
+    gdef = GeneratorDef(
+        z_dim=int(cfg.trainer_gan.z_dim),
+        channels_img=ctx.data_cfg.channel,
+        features_g=int(cfg.model_gan.network.units_gen),
+    )
+    ddef = DiscriminatorDef(
+        channels_img=ctx.data_cfg.channel,
+        features_d=int(cfg.model_gan.network.units_disc),
+    )
+    adam = AdamConfig.from_config(cfg.trainer_gan.optimizer)
+    bs = int(cfg.trainer_gan.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer_gan.epochs)
+    if n_synthetic is None:
+        n_synthetic = bs * 100  # reference util_dcgan.py:243
+    label_smoothing = bool(cfg.trainer_gan.get("label_smoothing", True))
+
+    ds = ctx.dataset("train", drange=(-1, 1))
+    val = ctx.dataset("test", drange=(0, 1))
+
+    state, _ = gan_init(ctx.keys("gan"), gdef, ddef, adam)
+    offset = 0
+    if resume:
+        prev = ctx.ckpt.try_load("checkpoint_g.msgpack")
+        if prev is not None:
+            state = jax.tree.map(lambda t_, s: jnp.asarray(s), state, prev["state"])
+            offset = prev["epoch"] + 1
+    step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
+    sampler = make_sampler(gdef)
+
+    history = {"loss_gen": [], "loss_disc": [], "fid": [], "is": [], "rec_loss_syn": []}
+    mw = ctx.metrics("history_gan")
+    best_is, best_epoch, best_state = 0.0, offset, state
+    fixed_noise_key = ctx.keys("fixed_noise")
+
+    for epoch in range(epochs):
+        for x, _y in ctx.batches(ds, bs)(epoch):
+            state, m = step(state, x, ctx.keys("gan_step"))
+            history["loss_gen"].append(float(m["loss_gen"]))
+            history["loss_disc"].append(float(m["loss_disc"]))
+
+        # per-epoch checkpoint with optimizer state (reference :225-238)
+        ctx.ckpt.save_every_epoch("g", epoch + offset, state, loss=history["loss_gen"][-1])
+
+        # eval phase (reference :240-270)
+        res = evaluate_gan_epoch(
+            ctx.keys("gan_eval"), sampler, state.gen_params, state.gen_state,
+            cae_state.enc_params, cae_state.enc_state,
+            cae_state.dec_params, cae_state.dec_state,
+            battery, val.images, n_synthetic=n_synthetic,
+        )
+        fid, is_score = float(res.fid), float(res.inception_score)
+        rec = float(res.rec_loss_syn)
+        history["fid"].append(fid)
+        history["is"].append(is_score)
+        history["rec_loss_syn"].append(rec)
+        mw.append(epoch + offset, loss_gen=history["loss_gen"][-1],
+                  loss_disc=history["loss_disc"][-1], fid=fid,
+                  inception_score=is_score, rec_loss_syn=rec)
+        print(f"[dcgan] epoch {epoch + offset}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
+
+        # plots + fixed-noise superimage (reference :272-297)
+        reporting.plot_training_curves(history, ctx.run.reports_dir / "gan_training.png")
+        imgs = sampler(state.gen_params, state.gen_state, fixed_noise_key, 32)
+        reporting.image_grid(
+            np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{epoch + offset}.png"
+        )
+        reporting.plot_posterior_polarization(
+            np.asarray(res.p_yx), list(np.asarray(battery.classes)),
+            ctx.run.reports_dir / f"class_polarization_{epoch + offset}.png",
+        )
+
+        # best model by IS (reference :279-283)
+        if is_score > best_is:
+            best_is, best_epoch, best_state = is_score, epoch + offset, state
+
+    ctx.ckpt.save_best("g", best_epoch, best_state)
+    mw.close()
+    return best_state, history
+
+
+def load_gan(model_dir: str | Path, best: bool = True):
+    """Rebuild GanTrainState pytree arrays from a checkpoint (reference
+    load_gan, util_dcgan.py:29-34). Returns (gen_params, gen_state)."""
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree
+
+    name = "best_g.msgpack" if best else "checkpoint_g.msgpack"
+    from gan_discovery_pso_tpu.core.checkpoint import restore_tree
+
+    d = load_pytree(Path(model_dir) / name)
+    state = restore_tree(d["state"])
+    return state["gen_params"], state["gen_state"]
+
+
+# ---------------------------------------------------------------------------
+# Assessor CNN stages (reference src/training/cnn.py, cnn_multipatient.py)
+# ---------------------------------------------------------------------------
+
+
+def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
+    """Per-class one-vs-all battery (reference cnn.py:154-246)."""
+    cfg = ctx.cfg
+    adam = AdamConfig.from_config(cfg.trainer_cnn.optimizer)
+    bs = int(cfg.trainer_cnn.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer_cnn.epochs)
+    early = int(cfg.trainer_cnn.early_stopping)
+    patience = int(cfg.trainer_cnn.scheduler.patience)
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+
+    ds = ctx.dataset("train", drange=(0, 1))
+    tr, va = train_val_split(ds, 0.2)
+
+    models = {}
+    for label in classes:
+        rdef = ResNetDef(str(cfg.model_cnn.model_name), ctx.data_cfg.channel, 2,
+                         tuple(ctx.data_cfg.iid_classes))
+        state, history, best_epoch = train_cnn(
+            ctx.keys.child(f"cnn_{label}")("init"), rdef, adam,
+            ctx.batches(tr, bs), ctx.batches(va, bs),
+            num_epochs=epochs, early_stopping=early, scheduler_patience=patience,
+            label=label, init="glorot_normal",
+        )
+        ctx.ckpt.save_state_dict(f"model_{label}", {"params": state.params, "state": state.model_state})
+        reporting.plot_training_curves(history, ctx.run.reports_dir / f"cnn_{label}.png")
+        models[label] = state
+    return models
+
+
+def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
+    """Single n-way assessor (reference cnn_multipatient.py:151-179)."""
+    cfg = ctx.cfg
+    adam = AdamConfig.from_config(cfg.trainer_cnn.optimizer)
+    bs = int(cfg.trainer_cnn.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer_cnn.epochs)
+    iid = tuple(ctx.data_cfg.iid_classes)
+    rdef = ResNetDef(str(cfg.model_cnn.model_name), ctx.data_cfg.channel,
+                     len(iid), iid)
+
+    ds = ctx.dataset("train", drange=(0, 1))
+    tr, va = train_val_split(ds, 0.2)
+    state, history, best_epoch = train_cnn(
+        ctx.keys("cnn_multi"), rdef, adam,
+        ctx.batches(tr, bs), ctx.batches(va, bs),
+        num_epochs=epochs,
+        early_stopping=int(cfg.trainer_cnn.early_stopping),
+        scheduler_patience=int(cfg.trainer_cnn.scheduler.patience),
+        label=None, init="glorot_normal",
+    )
+    ctx.ckpt.save_state_dict("model", {"params": state.params, "state": state.model_state})
+    reporting.plot_training_curves(history, ctx.run.reports_dir / "cnn_multipatient.png")
+    return state, rdef
+
+
+def load_cnn(model_dir: str | Path, rdef: ResNetDef, label=None):
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree
+
+    name = f"model_{label}.msgpack" if label is not None else "model.msgpack"
+    from gan_discovery_pso_tpu.core.checkpoint import restore_tree
+
+    d = load_pytree(Path(model_dir) / name)
+    return restore_tree(d["params"]), restore_tree(d["state"])
+
+
+# ---------------------------------------------------------------------------
+# Inverter stage (reference src/training/inverter.py)
+# ---------------------------------------------------------------------------
+
+
+def run_inverter(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    cnn=None,  # (params, state, ResNetDef) for the perceptual loss
+    epochs: int | None = None,
+):
+    cfg = ctx.cfg
+    latent = int(cfg.model_inverter.latent_space)
+    adam = AdamConfig.from_config(cfg.trainer_inverter.encoder_optimizer)
+    bs = int(cfg.trainer_inverter.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer_inverter.epochs)
+    training_fun = str(cfg.trainer_inverter.training_function)
+
+    iid = ctx.dataset("train", drange=(-1, 1))
+    val_iid = ctx.dataset("test", drange=(-1, 1))
+    val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
+
+    enc_params, _ = encoder_init(
+        ctx.keys("enc"), EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+    )
+    tx = make_optimizer(adam)
+    history: dict = {}
+    mw = ctx.metrics("history_inverter")
+
+    if training_fun == "pix_rec":
+        state = PixRecState(enc_params, tx.init(enc_params), jnp.asarray(0, jnp.int32))
+        train_step, eval_step = make_pix_rec_step(gen_params, gen_state, adam)
+        best, best_params = np.inf, state.enc_params
+        history = {"train_loss": [], "val_iid_loss": [], "val_ood_loss": []}
+        for epoch in range(epochs):
+            tl = []
+            for x, _y in ctx.batches(iid, bs)(epoch):
+                state, loss = train_step(state, x)
+                tl.append(float(loss))
+            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs)(epoch)]
+            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs)(epoch)]
+            tr_l, vi_l = float(np.mean(tl)), float(np.mean(vi)) if vi else np.nan
+            vo_l = float(np.mean(vo)) if vo else np.nan
+            history["train_loss"].append(tr_l)
+            history["val_iid_loss"].append(vi_l)
+            history["val_ood_loss"].append(vo_l)
+            mw.append(epoch, train_loss=tr_l, val_iid_loss=vi_l, val_ood_loss=vo_l)
+            if vi_l < best:  # best by val_iid (reference :273-277)
+                best, best_params = vi_l, state.enc_params
+        enc_final = best_params
+    elif training_fun == "pix_fea_rec_adv":
+        if cnn is None:
+            raise ValueError("pix_fea_rec_adv needs the multipatient cnn")
+        cnn_params, cnn_state, cnn_def = cnn
+        from gan_discovery_pso_tpu.models import discriminator_init
+
+        disc_params, _ = discriminator_init(
+            ctx.keys("disc"),
+            DiscriminatorDef(ctx.data_cfg.channel, int(cfg.model_inverter.D_network.units_disc)),
+        )
+        adam_d = AdamConfig.from_config(cfg.trainer_inverter.discriminator_optimizer)
+        state = PixFeaRecAdvState(
+            enc_params, disc_params, tx.init(enc_params),
+            make_optimizer(adam_d).init(disc_params), jnp.asarray(0, jnp.int32),
+        )
+        train_step, eval_step = make_pix_fea_rec_adv_step(
+            gen_params, gen_state, cnn_params, cnn_state, cnn_def, adam, adam_d
+        )
+        best, best_params = np.inf, state.enc_params
+        for epoch in range(epochs):
+            for x, _y in ctx.batches(iid, bs)(epoch):
+                state, m = train_step(state, x, ctx.keys("inv_step"))
+            vi = [eval_step(state, x, ctx.keys("inv_eval"))
+                  for x, _ in ctx.batches(val_iid, bs)(epoch)]
+            pixfea = float(np.mean([float(m["loss_enc_rec_pix"] + m["loss_enc_rec_fea"])
+                                    for m in vi])) if vi else np.nan
+            history.setdefault("val_iid_pixfea", []).append(pixfea)
+            mw.append(epoch, val_iid_pixfea=pixfea)
+            if pixfea < best:  # best by val_iid pix+fea (reference :470-475)
+                best, best_params = pixfea, state.enc_params
+        enc_final = best_params
+    else:
+        raise ValueError(training_fun)
+
+    ctx.ckpt.save_state_dict("encoder", {"params": enc_final})
+    reporting.plot_training_curves(history, ctx.run.reports_dir / "inverter_training.png")
+    mw.close()
+    return enc_final, history
+
+
+def load_encoder(model_dir: str | Path):
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree
+
+    d = load_pytree(Path(model_dir) / "encoder.msgpack")
+    return jax.tree.map(jnp.asarray, d["params"])
+
+
+# ---------------------------------------------------------------------------
+# Latent extractors (reference iid_extractor.py / ood_extractor.py)
+# ---------------------------------------------------------------------------
+
+
+def run_extractor(ctx: StageContext, enc_params, kind: str = "iid", max_per_class: int = 256):
+    """Batch-encode images per class into pseudo-particle artifacts
+    (reference iid_extractor.py:177-216 — pickles shaped like PSO output)."""
+    classes = ctx.data_cfg.iid_classes if kind == "iid" else ctx.data_cfg.ood_classes
+    ds = ctx.dataset("train", classes=classes, drange=(-1, 1))
+
+    @jax.jit
+    def encode(x):
+        z, _ = encoder_apply(enc_params, {}, x)
+        return z.reshape(z.shape[0], -1)
+
+    out = {}
+    labels = np.asarray(ds.labels)
+    for label in classes:
+        imgs = ds.images[labels == label][:max_per_class]
+        z = np.asarray(encode(imgs))
+        # single-"iteration" trajectory: [1, N, d] with zero velocities
+        save_particle_histories(
+            ctx.run.interim_dir, label, z[None], np.zeros_like(z)[None], kind=kind
+        )
+        out[label] = z
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid PSO inverter (reference src/training/pso_inverter.py)
+# ---------------------------------------------------------------------------
+
+
+def run_pso_inverter(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    enc_params,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    ood_patient: int | None = None,
+    fine_tune_epochs: int | None = None,
+):
+    """Phase 1: re-head + fine-tune the assessor to (not-patient, patient)
+    (reference :222-263). Phase 2: encoder-seeded swarm with the hybrid
+    fitness; n_particles = #slices capped at 256 (:279-284)."""
+    cfg = ctx.cfg
+    if ood_patient is None:
+        ood_patient = int(cfg.pso_inverter.ood_patient)
+    hp = PsoConfig.from_config(cfg.trainer_pso_inverter)
+    control = str(cfg.trainer_pso_inverter.get("control_pso_fitness", OPTIMIZE_IN))
+
+    # --- phase 1: binary assessor for this patient
+    from gan_discovery_pso_tpu.models import change_classifier_head
+    from gan_discovery_pso_tpu.train.cnn import CnnTrainState
+
+    adam = AdamConfig.from_config(cfg.trainer_pso_inverter.optimizer)
+    bdef = ResNetDef(cnn_def.model_name, cnn_def.image_channels, 2,
+                     tuple(ctx.data_cfg.iid_classes) + (ood_patient,))
+    reheaded = change_classifier_head(ctx.keys("rehead"), cnn_params, 2)
+    epochs = fine_tune_epochs if fine_tune_epochs is not None else int(
+        cfg.trainer_pso_inverter.epochs
+    )
+    all_ds = ctx.dataset(
+        "train",
+        classes=tuple(ctx.data_cfg.iid_classes) + (ood_patient,),
+        drange=(0, 1),
+    )
+    tr, va = train_val_split(all_ds, 0.2)
+    tx = make_optimizer(adam)
+    init_state = CnnTrainState(reheaded, cnn_state, tx.init(reheaded),
+                               jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    bs = int(cfg.trainer_pso_inverter.batch_size)
+    fine_state, _h, _be = train_cnn(
+        ctx.keys("finetune"), bdef, adam,
+        ctx.batches(tr, bs), ctx.batches(va, bs),
+        num_epochs=epochs,
+        early_stopping=int(cfg.trainer_pso_inverter.early_stopping),
+        label=ood_patient, init_state=init_state,
+    )
+    ctx.ckpt.save_state_dict(f"model_{ood_patient}",
+                             {"params": fine_state.params, "state": fine_state.model_state})
+
+    # --- phase 2: encoder-seeded swarm over the patient's slices
+    ood = ctx.dataset("train", classes=(ood_patient,), drange=(-1, 1))
+    n = min(ood.images.shape[0], hp.n_particles, 256)
+    slices = ood.images[:n]
+
+    @jax.jit
+    def encode(x):
+        z, _ = encoder_apply(enc_params, {}, x)
+        return z.reshape(z.shape[0], -1)
+
+    init_positions = encode(slices)
+    hp_n = PsoConfig(**{**hp.__dict__, "n_particles": n})
+
+    fitness = make_inverter_fitness(
+        gen_params, gen_state, fine_state.params, fine_state.model_state, bdef,
+        source_images=slices, class_idx=1, control=control,
+    )
+    run = jax.jit(lambda k, p: optimize(k, fitness, hp_n, init_positions=p))
+    final, hist, init = run(ctx.keys("pso"), init_positions)
+    jax.block_until_ready(final)
+    res = SwarmResult(final, hist, init, hp_n)
+    save_particle_histories(
+        ctx.run.interim_dir, ood_patient,
+        res.particle_trajectories(), res.velocity_trajectories(), kind="ood",
+    )
+    reporting.plot_convergence(
+        res.history_dict()["global_best_val"],
+        ctx.run.reports_dir / f"convergence_patient_{ood_patient}.png",
+    )
+    return res, fine_state
+
+
+# ---------------------------------------------------------------------------
+# Gradient inversion stages (reference regularize_inverter*.py)
+# ---------------------------------------------------------------------------
+
+
+def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params,
+                            images, iterations: int = 500):
+    """Per-image gradient descent on z (reference regularize_inverter.py via
+    util_inverter.invert:544-638), batched."""
+    z, hist = invert(images, gen_params, gen_state, enc_params, iterations=iterations)
+    reporting.plot_training_curves(
+        {k: list(v) for k, v in hist.items()},
+        ctx.run.reports_dir / "invert_loss.png",
+    )
+    np.savez_compressed(ctx.run.interim_dir / "inverted_z.npz", z=np.asarray(z))
+    return z, hist
+
+
+def run_regularize_inverter_statistics(
+    ctx: StageContext, gen_params, gen_state, enc_params, images,
+    pso_interim_dir, classes=None, iterations: int = 500,
+):
+    """z-statistics variant: normalize against PSO particle populations
+    (reference regularize_inverter_statistics.py + invert_bn)."""
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    parts = np.stack(
+        [load_final_particle_positions(pso_interim_dir, c, "iid") for c in classes]
+    )
+    z, w, hist = invert_bn(
+        images, gen_params, gen_state, enc_params, jnp.asarray(parts),
+        iterations=iterations, key=ctx.keys("invert_bn"),
+    )
+    reporting.plot_training_curves(
+        {k: list(v) for k, v in hist.items()},
+        ctx.run.reports_dir / "invert_bn_loss.png",
+    )
+    np.savez_compressed(
+        ctx.run.interim_dir / "inverted_bn_z.npz", z=np.asarray(z), weights=np.asarray(w)
+    )
+    return z, w, hist
+
+
+# ---------------------------------------------------------------------------
+# VQ-VAE stage (reference src/training/vq_vae.py)
+# ---------------------------------------------------------------------------
+
+
+def run_vqvae(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    pso_interim_dir=None,
+    epochs: int | None = None,
+):
+    cfg = ctx.cfg
+    d = VQVAEGanDef(
+        channels_img=ctx.data_cfg.channel,
+        embedded_dim=int(cfg.model.latent_space.embedding_dim),
+        num_embedding=int(cfg.model.latent_space.num_embedding),
+        features_g=int(cfg.model_gan.network.units_gen),
+        features_d=int(cfg.model_gan.network.units_disc),
+    )
+    adam = AdamConfig.from_config(cfg.trainer.optimizer)
+    beta = float(cfg.trainer.beta)
+    bs = int(cfg.trainer.batch_size)
+    epochs = epochs if epochs is not None else int(cfg.trainer.epochs)
+
+    # codebook from PSO particle positions of all iid classes
+    # (reference vq_vae.py:30-57: 32 particles/class × 8 classes = 256)
+    data_pso = None
+    if pso_interim_dir is not None:
+        rows = [
+            load_final_particle_positions(pso_interim_dir, c, "iid")
+            for c in ctx.data_cfg.iid_classes
+        ]
+        data_pso = np.concatenate(rows, axis=0)[: d.num_embedding]
+
+    state, _tx = vqvae_init(ctx.keys("vqvae"), d, adam, data_pso=data_pso,
+                            frozen_gen=(gen_params, gen_state))
+
+    iid = ctx.dataset("train", drange=(-1, 1))
+    val_iid = ctx.dataset("test", drange=(-1, 1))
+    val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
+    state, history, best_epoch = train_vqvae(
+        state, d, adam,
+        ctx.batches(iid, bs), ctx.batches(val_iid, bs), ctx.batches(val_ood, bs),
+        num_epochs=epochs, beta=beta,
+        metrics_writer=ctx.metrics("history_vqvae"),
+    )
+    ctx.ckpt.save_best("vqvae", best_epoch,
+                       {"params": state.params, "state": state.model_state})
+    reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
+    return state, history, d

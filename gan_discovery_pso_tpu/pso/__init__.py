@@ -8,6 +8,8 @@ from gan_discovery_pso_tpu.pso.swarm import (
     mean_pairwise_distance,
     optimize,
     optimize_jit,
+    optimize_resumable,
+    pso_iteration_pallas,
     last_iteration,
 )
 from gan_discovery_pso_tpu.pso.fitness import (
@@ -16,6 +18,7 @@ from gan_discovery_pso_tpu.pso.fitness import (
     assessor_posterior,
     fitness_from_posterior,
     make_discovery_fitness,
+    make_discovery_fitness_dynamic,
     make_inverter_fitness,
     make_analytic_fitness,
 )

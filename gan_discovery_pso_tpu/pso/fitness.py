@@ -33,12 +33,14 @@ OPTIMIZE_IN = "optimize_in_training"
 OPTIMIZE_OUT = "optimize_out_training"
 
 
-def assessor_posterior(logits: jax.Array, class_idx: int) -> jax.Array:
+def assessor_posterior(logits: jax.Array, class_idx) -> jax.Array:
     """softmax over classes; pick the target column (multi-class uses
-    class_to_idx, binary uses column 1 — util_discovery.py:69-74)."""
+    class_to_idx, binary uses column 1 — util_discovery.py:69-74).
+    class_idx may be a traced scalar so one compiled program serves every
+    class of the per-class sweep."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
     if logits.shape[1] > 2:
-        return probs[:, class_idx]
+        return jnp.take(probs, jnp.asarray(class_idx), axis=1)
     return probs[:, 1]
 
 
@@ -114,6 +116,32 @@ def make_inverter_fitness(
         )
         # the reference adds eps a second time on the combined value (:101)
         return f_ass + f_rec + eps
+
+    return fitness
+
+
+def make_discovery_fitness_dynamic(
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Discovery fitness with the class index as a RUNTIME argument:
+    fitness(positions [N,d], class_idx []) → [N]. One compiled optimize
+    serves the whole per-class sweep (the reference's outer loop,
+    src/training/pso_discovery.py:174) instead of recompiling per class."""
+
+    def fitness(positions: jax.Array, class_idx) -> jax.Array:
+        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+        img = generator_forward(gen_params, gen_state, z)
+        img01 = rescale01_per_sample(img)
+        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+        p = assessor_posterior(logits, class_idx)
+        return fitness_from_posterior(p, control, threshold, eps)
 
     return fitness
 

@@ -187,36 +187,78 @@ def pso_iteration(
     )
 
 
+def pso_iteration_pallas(
+    state: SwarmState,
+    fitness_vals: jax.Array,
+    r1: jax.Array,
+    r2: jax.Array,
+    hp: PsoConfig,
+) -> SwarmState:
+    """pso_iteration with the update chain executed as one fused Pallas TPU
+    kernel (ops/pallas/swarm_update.py); equality asserted in
+    tests/test_pallas.py. Inertia/early-stop bookkeeping stays in XLA."""
+    from gan_discovery_pso_tpu.ops.pallas.swarm_update import pso_update_pallas
+
+    w = state.w_inertia
+    if hp.schedule_inertia:
+        w = jnp.where(state.iteration > 1, 0.99 * w, w)
+    (pos, vel, pbp, pbv, gbp, gbv, gpv, g_appended) = pso_update_pallas(
+        state.positions, state.velocities, state.p_best_pos, state.p_best_val,
+        fitness_vals, r1, r2, state.g_best_pos, state.g_best_val,
+        state.g_prev_val, w, hp.w_cognitive, hp.w_social,
+    )
+    g_improvements = state.g_improvements + g_appended.astype(jnp.int32)
+    tol_hit = jnp.abs(gbv - gpv) < hp.tolerance
+    stop = (
+        (state.iteration > 2) & (g_improvements > 2) & tol_hit
+        if hp.early_stopping
+        else jnp.asarray(False)
+    )
+    return SwarmState(pos, vel, pbp, pbv, gbp, gbv, gpv, g_improvements,
+                      w, state.iteration + 1, state.done | stop)
+
+
 def optimize(
     key: jax.Array,
     fitness_fn: Callable[[jax.Array], jax.Array],
     hp: PsoConfig,
     init_positions: jax.Array | None = None,
+    init_state: SwarmState | None = None,
+    n_iterations: int | None = None,
+    use_pallas: bool = False,
 ) -> tuple[SwarmState, PsoHistory]:
     """Full swarm optimization as ONE jitted device program.
 
     fitness_fn: positions [N,d] → values [N] (already batched over the swarm;
     typically generator+assessor forwards — see pso/fitness.py).
 
-    Returns (final_state, history). `last_iteration(history)` recovers the
-    reference's returned iteration count.
+    init_state resumes a checkpointed swarm (its `iteration` keeps the RNG
+    stream aligned, so chunked/resumed runs reproduce the single-shot
+    trajectory — see optimize_resumable).
+
+    Returns (final_state, history, start_state). `last_iteration(history)`
+    recovers the reference's returned iteration count.
     """
     init_key, iter_key = jax.random.split(key)
-    if init_positions is not None:
+    if init_state is not None:
+        state0 = init_state
+    elif init_positions is not None:
         state0 = swarm_init_from_positions(init_key, init_positions, hp.w_inertia)
     else:
         state0 = swarm_init(init_key, hp.n_particles, hp.dim_space, hp.w_inertia)
+    n_iters = hp.n_iterations if n_iterations is None else n_iterations
+    iteration_fn = pso_iteration_pallas if use_pallas else pso_iteration
 
-    def step(carry, it):
+    def step(carry, _):
         state = carry
-        k = jax.random.fold_in(iter_key, it)
+        k = jax.random.fold_in(iter_key, state.iteration)
         k1, k2 = jax.random.split(k)
         n = state.positions.shape[0]
         r1 = jax.random.uniform(k1, (n,), jnp.float32)
         r2 = jax.random.uniform(k2, (n,), jnp.float32)
 
         fitness_vals = fitness_fn(state.positions)
-        new_state = pso_iteration(state, fitness_vals, r1, r2, hp)
+        new_state = iteration_fn(state, fitness_vals, r1, r2, hp)
         # candidate value this iteration (g_best_val_dummy, :151)
         dummy = jnp.min(new_state.p_best_val)
         mmse = mean_pairwise_distance(new_state.positions)
@@ -236,13 +278,80 @@ def optimize(
         )
         return out_state, rec
 
-    final_state, history = jax.lax.scan(
-        step, state0, jnp.arange(1, hp.n_iterations + 1)
-    )
+    final_state, history = jax.lax.scan(step, state0, None, length=n_iters)
     return final_state, history, state0
 
 
-optimize_jit = jax.jit(optimize, static_argnames=("fitness_fn", "hp"))
+optimize_jit = jax.jit(
+    optimize, static_argnames=("fitness_fn", "hp", "n_iterations", "use_pallas")
+)
+
+
+def optimize_resumable(
+    key: jax.Array,
+    fitness_fn: Callable[[jax.Array], jax.Array],
+    hp: PsoConfig,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    tag: str = "swarm",
+    init_positions: jax.Array | None = None,
+):
+    """Preemption-safe optimize: runs in chunks of `checkpoint_every`
+    iterations, persisting the full swarm state between chunks (SURVEY.md
+    §5.3: deterministic restart from (step, PRNG key, swarm state)).
+
+    The per-iteration RNG is derived from the state's own iteration counter,
+    so a resumed run reproduces the single-shot trajectory exactly.
+    Returns (final_state, history, init_state) like optimize().
+    """
+    from gan_discovery_pso_tpu.core.checkpoint import restore_tree
+
+    state = None
+    if checkpointer is not None:
+        saved = checkpointer.try_load(f"checkpoint_{tag}.msgpack")
+        if saved is not None:
+            state = SwarmState(*[jnp.asarray(x) for x in restore_tree(saved["state"]).values()]) \
+                if isinstance(saved["state"], dict) else saved["state"]
+
+    run = jax.jit(
+        lambda k, s: optimize(
+            k, fitness_fn, hp, init_state=s, n_iterations=checkpoint_every
+        )
+    )
+    seed = jax.jit(
+        lambda k, p: optimize(
+            k, fitness_fn, hp, init_positions=p, n_iterations=0
+        )
+    )
+
+    if state is None:
+        # materialize the initial state without running iterations
+        _, _, state = seed(key, init_positions) if init_positions is not None else (
+            jax.jit(lambda k: optimize(k, fitness_fn, hp, n_iterations=0))(key)
+        )
+        init_state = state
+    else:
+        init_state = state
+
+    hist_parts = []
+    done_iters = int(state.iteration) - 1
+    while done_iters < hp.n_iterations:
+        chunk = min(checkpoint_every, hp.n_iterations - done_iters)
+        if chunk != checkpoint_every:
+            state, hist = optimize(
+                key, fitness_fn, hp, init_state=state, n_iterations=chunk
+            )[:2]
+        else:
+            state, hist = run(key, state)[:2]
+        hist_parts.append(hist)
+        done_iters += chunk
+        if checkpointer is not None:
+            checkpointer.save_every_epoch(tag, done_iters, state._asdict())
+        if bool(state.done):
+            break
+
+    history = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts)
+    return state, history, init_state
 
 
 def last_iteration(history: PsoHistory) -> int:

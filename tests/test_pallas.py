@@ -1,0 +1,60 @@
+"""Pallas swarm-update kernel == reference pso_iteration math.
+
+Runs in interpret mode on the CPU test backend; the same kernel compiles
+natively on TPU (exercised by the bench/drive paths).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core.config import PsoConfig
+from gan_discovery_pso_tpu.ops.pallas.swarm_update import pso_update_pallas
+from gan_discovery_pso_tpu.pso import analytic, make_analytic_fitness, pso_iteration, swarm_init
+
+
+def test_pallas_update_matches_reference_iteration():
+    hp = PsoConfig(n_particles=32, dim_space=10, w_inertia=0.73,
+                   w_cognitive=1.496, w_social=1.496)
+    key = jax.random.key(0)
+    state = swarm_init(key, hp.n_particles, hp.dim_space, hp.w_inertia)
+    fit_fn = make_analytic_fitness(analytic.sphere)
+    rng = np.random.RandomState(0)
+
+    for it in range(5):
+        r1 = jnp.asarray(rng.rand(hp.n_particles), jnp.float32)
+        r2 = jnp.asarray(rng.rand(hp.n_particles), jnp.float32)
+        fitness = fit_fn(state.positions)
+
+        ref = pso_iteration(state, fitness, r1, r2, hp)
+        (pos, vel, pbp, pbv, gbp, gbv, gpv, gimp) = pso_update_pallas(
+            state.positions, state.velocities, state.p_best_pos, state.p_best_val,
+            fitness, r1, r2, state.g_best_pos, state.g_best_val, state.g_prev_val,
+            hp.w_inertia, hp.w_cognitive, hp.w_social, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(ref.positions), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(ref.velocities), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pbp), np.asarray(ref.p_best_pos), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pbv), np.asarray(ref.p_best_val), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gbp), np.asarray(ref.g_best_pos), rtol=1e-6)
+        np.testing.assert_allclose(float(gbv), float(ref.g_best_val), rtol=1e-6)
+        np.testing.assert_allclose(float(gpv), float(ref.g_prev_val), rtol=1e-6)
+        state = ref
+
+
+def test_pallas_update_unpadded_sizes():
+    """N and d not multiples of the tile: 13 particles, 7 dims."""
+    hp = PsoConfig(n_particles=13, dim_space=7)
+    state = swarm_init(jax.random.key(1), 13, 7, hp.w_inertia)
+    fitness = make_analytic_fitness(analytic.cosine_mixture)(state.positions)
+    r1 = jnp.linspace(0, 1, 13)
+    r2 = jnp.linspace(1, 0, 13)
+    ref = pso_iteration(state, fitness, r1, r2, hp)
+    out = pso_update_pallas(
+        state.positions, state.velocities, state.p_best_pos, state.p_best_val,
+        fitness, r1, r2, state.g_best_pos, state.g_best_val, state.g_prev_val,
+        hp.w_inertia, hp.w_cognitive, hp.w_social, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref.positions), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(out[5]), float(ref.g_best_val), rtol=1e-6)

@@ -1,0 +1,267 @@
+"""Tiny-config end-to-end pipeline integration test (SURVEY.md §4).
+
+Runs the full stage chain on the CPU backend with shrunken models/data:
+cae → classifiers → dcgan → cnn_multipatient → pso_discovery → inverter →
+extractors → pso_inverter → regularize_inverter(+statistics) → vqvae →
+analyses. Asserts every stage's artifact contract lands on disk.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core import load_config
+from gan_discovery_pso_tpu.pipelines import (
+    StageContext,
+    run_cae,
+    run_classifiers,
+    run_cnn_multipatient,
+    run_dcgan,
+    run_extractor,
+    run_inverter,
+    run_pso_analysis,
+    run_pso_analysis_clustering,
+    run_pso_analysis_distance,
+    run_pso_discovery,
+    run_pso_inverter,
+    run_regularize_inverter,
+    run_regularize_inverter_statistics,
+    run_vqvae,
+)
+
+TINY = {
+    "data.data_dir": None,  # set per-test to tmp
+    "model_gan.network.units_gen": 8,
+    "model_gan.network.units_disc": 8,
+    "trainer_gan.z_dim": 8,
+    "trainer_gan.batch_size": 32,
+    "trainer_ae.batch_size": 32,
+    "trainer_cnn.batch_size": 32,
+    "trainer_pso.n_iterations": 4,
+    "trainer_pso.n_particles": 8,
+    "trainer_pso.dim_space": 8,
+    "trainer_pso_inverter.n_iterations": 3,
+    "trainer_pso_inverter.n_particles": 8,
+    "trainer_pso_inverter.dim_space": 8,
+    "trainer_pso_inverter.batch_size": 32,
+    "trainer_inverter.batch_size": 32,
+    "model_inverter.latent_space": 8,
+    "model_ae.latent_space": 6,
+}
+
+LIMIT = 192  # images per dataset load
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    return {
+        "data.data_dir": str(root / "raw"),
+        "data.interim_dir": str(root / "interim"),
+        "data.model_dir": str(root / "models"),
+        "data.reports_dir": str(root / "reports"),
+    }
+
+
+def _ctx(roots, module, extra=None):
+    overrides = {**TINY, **roots, **(extra or {})}
+    ctx = StageContext.create("configs/dcgan_mnist.yaml", module, overrides=overrides)
+    ctx.limit = LIMIT
+    return ctx
+
+
+@pytest.fixture(scope="module")
+def artifacts(roots):
+    """Run the whole chain once; individual tests assert on the pieces."""
+    out = {}
+
+    ctx = _ctx(roots, "cae")
+    cae_state, cae_hist = run_cae(ctx, epochs=1)
+    out["cae"] = (ctx, cae_state, cae_hist)
+
+    ctx2 = _ctx(roots, "classifiers")
+    battery = run_classifiers(ctx2, cae_state=cae_state)
+    out["classifiers"] = (ctx2, battery)
+
+    ctx3 = _ctx(roots, "dcgan")
+    gan_state, gan_hist = run_dcgan(ctx3, cae_state, battery, epochs=1, n_synthetic=64)
+    out["dcgan"] = (ctx3, gan_state, gan_hist)
+
+    ctx4 = _ctx(roots, "cnn_multipatient")
+    cnn_state, rdef = run_cnn_multipatient(ctx4, epochs=1)
+    out["cnn"] = (ctx4, cnn_state, rdef)
+
+    ctx5 = _ctx(roots, "pso_discovery")
+    results = run_pso_discovery(
+        ctx5, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    out["pso"] = (ctx5, results)
+
+    ctx6 = _ctx(roots, "inverter")
+    enc_params, inv_hist = run_inverter(
+        ctx6, gan_state.gen_params, gan_state.gen_state, epochs=1
+    )
+    out["inverter"] = (ctx6, enc_params, inv_hist)
+
+    return out
+
+
+def test_cae_stage_artifacts(artifacts):
+    ctx, state, hist = artifacts["cae"]
+    assert (ctx.run.models_dir / "encoder.msgpack").exists()
+    assert (ctx.run.models_dir / "decoder.msgpack").exists()
+    assert (ctx.run.interim_dir / "encoded_samples_train.csv").exists()
+    assert len(hist["train_loss"]) == 1 and np.isfinite(hist["train_loss"][0])
+    # run-id naming contract
+    assert ctx.run.name == "00001--cae"
+
+
+def test_classifier_stage_artifacts(artifacts):
+    ctx, battery = artifacts["classifiers"]
+    assert (ctx.run.models_dir / "classifiers.msgpack").exists()
+    assert (ctx.run.reports_dir / "error_reject.png").exists()
+    assert set(np.asarray(battery.classes)).issubset({0, 2, 3, 4, 6, 7, 8, 9})
+
+
+def test_dcgan_stage_artifacts(artifacts):
+    ctx, state, hist = artifacts["dcgan"]
+    assert (ctx.run.models_dir / "checkpoint_g.msgpack").exists()
+    assert (ctx.run.models_dir / "best_g.msgpack").exists()
+    assert len(hist["fid"]) == 1 and np.isfinite(hist["fid"][0])
+    assert len(hist["is"]) == 1
+    assert (ctx.run.reports_dir / "gan_training.png").exists()
+    assert (ctx.run.reports_dir / "synthetic_epoch_0.png").exists()
+    # reload roundtrip
+    from gan_discovery_pso_tpu.pipelines import load_gan
+
+    gp, gs = load_gan(ctx.run.models_dir)
+    z = jnp.zeros((2, 8, 1, 1))
+    from gan_discovery_pso_tpu.models import generator_forward
+
+    img = generator_forward(gp, gs, z)
+    assert img.shape == (2, 1, 28, 28)
+
+
+def test_cnn_stage_artifacts(artifacts):
+    ctx, state, rdef = artifacts["cnn"]
+    assert (ctx.run.models_dir / "model.msgpack").exists()
+    from gan_discovery_pso_tpu.pipelines import load_cnn
+
+    params, mstate = load_cnn(ctx.run.models_dir, rdef)
+    from gan_discovery_pso_tpu.models import resnet_apply
+
+    logits, _ = resnet_apply(params, mstate, jnp.zeros((2, 1, 28, 28)), rdef)
+    assert logits.shape == (2, 8)
+
+
+def test_pso_discovery_stage_artifacts(artifacts):
+    ctx, results = artifacts["pso"]
+    for label in (0, 2):
+        assert (ctx.run.interim_dir / f"particles_position_iid_class_{label}.pkl").exists()
+        assert (ctx.run.interim_dir / f"particles_position_iic_class_{label}.pkl").exists()
+        assert (ctx.run.interim_dir / f"particles_iid_class_{label}.npz").exists()
+        res = results[label]
+        assert np.isfinite(float(res.g_best_val))
+        assert res.particle_trajectories().shape == (5, 8, 8)  # 4 iters + init
+    assert (ctx.run.reports_dir / "timing.json").exists()
+
+
+def test_inverter_stage_artifacts(artifacts):
+    ctx, enc_params, hist = artifacts["inverter"]
+    assert (ctx.run.models_dir / "encoder.msgpack").exists()
+    assert np.isfinite(hist["train_loss"][0])
+
+
+def test_extractor_pso_inverter_and_regularize(roots, artifacts):
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+    _ctx6, enc_params, _ = artifacts["inverter"]
+    ctx5, _results = artifacts["pso"]
+
+    # extractors
+    ctxE = _ctx(roots, "iid_extractor")
+    latents = run_extractor(ctxE, enc_params, kind="iid", max_per_class=16)
+    assert set(latents) == set((0, 2, 3, 4, 6, 7, 8, 9))
+    assert (ctxE.run.interim_dir / "particles_position_iid_class_0.pkl").exists()
+
+    ctxO = _ctx(roots, "ood_extractor")
+    ood_latents = run_extractor(ctxO, enc_params, kind="ood", max_per_class=16)
+    assert set(ood_latents) == {1, 5}
+
+    # hybrid pso inverter (patient = ood class 1)
+    ctxP = _ctx(roots, "pso_inverter", extra={"pso_inverter.ood_patient": 1,
+                                              "trainer_pso_inverter.epochs": 1})
+    res, fine_state = run_pso_inverter(
+        ctxP, gan_state.gen_params, gan_state.gen_state, enc_params,
+        cnn_state.params, cnn_state.model_state, rdef,
+    )
+    assert (ctxP.run.interim_dir / "particles_position_ood_class_1.pkl").exists()
+    assert (ctxP.run.models_dir / "model_1.msgpack").exists()
+    assert np.isfinite(float(res.g_best_val))
+
+    # gradient inversion
+    ctxR = _ctx(roots, "regularize_inverter")
+    imgs = ctxR.dataset("test", drange=(-1, 1)).images[:2]
+    z, hist = run_regularize_inverter(
+        ctxR, gan_state.gen_params, gan_state.gen_state, enc_params, imgs, iterations=10
+    )
+    assert (ctxR.run.interim_dir / "inverted_z.npz").exists()
+
+    ctxS = _ctx(roots, "regularize_inverter_statistics")
+    z2, w, hist2 = run_regularize_inverter_statistics(
+        ctxS, gan_state.gen_params, gan_state.gen_state, enc_params, imgs,
+        pso_interim_dir=ctx5.run.interim_dir, classes=(0, 2), iterations=5,
+    )
+    assert (ctxS.run.interim_dir / "inverted_bn_z.npz").exists()
+    assert w.shape == (2,)
+
+
+def test_vqvae_and_analyses(roots, artifacts):
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    ctx5, _results = artifacts["pso"]
+
+    ctxV = _ctx(roots, "vq_vae")
+    # vqvae.yaml schema for the model/trainer blocks; reuse tiny dcgan cfg data
+    vq_cfg = load_config("configs/vqvae.yaml", overrides={
+        **{k: v for k, v in TINY.items() if not k.startswith(("trainer_cnn", "model_cnn"))},
+        "data.data_dir": str(ctxV.data_cfg.data_dir),
+        "data.interim_dir": str(ctxV.data_cfg.interim_dir),
+        "data.model_dir": str(ctxV.data_cfg.model_dir),
+        "data.reports_dir": str(ctxV.data_cfg.reports_dir),
+        "model.latent_space.embedding_dim": 8,
+        "model.latent_space.num_embedding": 16,
+        "trainer.batch_size": 32,
+        # only these classes have discovery artifacts in this tiny run
+        "data.iid_classes": [0, 2],
+    })
+    ctxV = StageContext.create(vq_cfg, "vq_vae")
+    ctxV.limit = LIMIT
+    state, hist, d = run_vqvae(
+        ctxV, gan_state.gen_params, gan_state.gen_state,
+        pso_interim_dir=ctx5.run.interim_dir, epochs=1,
+    )
+    assert (ctxV.run.models_dir / "best_vqvae.msgpack").exists()
+    assert np.isfinite(hist["train_loss"][0])
+    # codebook was seeded from PSO particles (16 of them exist: 2 classes x 8)
+    assert state.params["codebook"].shape == (16, 8)
+
+    # analyses over the discovery artifacts
+    ctxA = _ctx(roots, "pso_analysis")
+    r = run_pso_analysis(ctxA, ctx5.run.interim_dir, classes=(0, 2))
+    assert (ctxA.run.reports_dir / "pca_iid.png").exists()
+    assert r["pca"].shape[1] == 2
+
+    ctxC = _ctx(roots, "pso_analysis_clustering")
+    rc = run_pso_analysis_clustering(ctxC, ctx5.run.interim_dir, classes=(0, 2),
+                                     algorithm="kmeans")
+    assert rc["centers"].shape == (2, 8)
+    assert (ctxC.run.reports_dir / "clusters.png").exists()
+
+    ctxD = _ctx(roots, "pso_analysis_distance")
+    rd = run_pso_analysis_distance(ctxD, ctx5.run.interim_dir, classes=(0, 2))
+    assert "within_0" in rd and "between_0_2" in rd
+    assert (ctxD.run.reports_dir / "distance_summary.json").exists()

@@ -202,3 +202,23 @@ def test_particle_history_io_roundtrip(tmp_path):
     hd = res.history_dict()
     assert len(hd["mean_mse"]) == 10
     assert len(hd["global_best_val"]) == 10
+
+
+def test_optimize_resumable_matches_single_shot(tmp_path):
+    """Chunked+checkpointed optimize reproduces the one-shot trajectory
+    (preemption-safe restart, SURVEY.md §5.3)."""
+    from gan_discovery_pso_tpu.core.checkpoint import Checkpointer
+    from gan_discovery_pso_tpu.pso import optimize_resumable
+
+    hp = PsoConfig(n_iterations=12, n_particles=8, dim_space=3)
+    fit = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(11)
+
+    f1, h1, _ = optimize(key, fit, hp)
+
+    ck = Checkpointer(tmp_path)
+    f2, h2, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=5)
+    np.testing.assert_allclose(np.asarray(f1.positions), np.asarray(f2.positions), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(f1.g_best_val), float(f2.g_best_val), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1.g_best_val), np.asarray(h2.g_best_val), rtol=1e-6)
+    assert (tmp_path / "checkpoint_swarm.msgpack").exists()

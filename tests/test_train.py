@@ -1,0 +1,202 @@
+"""Training-layer tests: R1 grad-of-grad golden vs torch, trainer smoke +
+semantics (frozen decoder, binary label mapping, loss descent)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core.config import AdamConfig
+from gan_discovery_pso_tpu.models import (
+    DiscriminatorDef,
+    EncoderDef,
+    GeneratorDef,
+    ResNetDef,
+    VQVAEGanDef,
+    discriminator_init,
+    encoder_init,
+    generator_init,
+    resnet_init,
+)
+from gan_discovery_pso_tpu.train import (
+    cae_init,
+    invert,
+    invert_bn,
+    make_cae_steps,
+    make_pix_fea_rec_adv_step,
+    make_pix_rec_step,
+    make_vqvae_steps,
+    r1_penalty,
+    train_cnn,
+    vqvae_init,
+)
+from gan_discovery_pso_tpu.models.cae import CAEDef
+from gan_discovery_pso_tpu.train.cae import encode_dataset, save_encoded_samples_csv
+
+ADAM = AdamConfig(lr=1e-3, beta1=0.5, beta2=0.99)
+
+
+def t(x):
+    return torch.tensor(np.asarray(x))
+
+
+def _torch_disc(params, f=16):
+    disc = tnn.Sequential(
+        tnn.Conv2d(1, f, 4, 2, 1), tnn.LeakyReLU(0.2),
+        tnn.Conv2d(f, f * 2, 4, 2, 1), tnn.LeakyReLU(0.2),
+        tnn.Conv2d(f * 2, 1, 7, 2, 0), tnn.Sigmoid(),
+    )
+    with torch.no_grad():
+        for i, name in zip((0, 2, 4), ("conv1", "conv2", "conv3")):
+            disc[i].weight.copy_(t(params[name]["w"]))
+            disc[i].bias.copy_(t(params[name]["b"]))
+    return disc
+
+
+def test_r1_penalty_matches_torch_grad_of_grad():
+    """R1 value AND its gradient w.r.t. D params must match torch
+    (create_graph=True second-order path, reference util_inverter.py:304-320)."""
+    params, _ = discriminator_init(jax.random.key(0), DiscriminatorDef(features_d=16))
+    real = np.random.RandomState(0).randn(4, 1, 28, 28).astype(np.float32)
+
+    r1_jax = float(r1_penalty(params, jnp.array(real)))
+
+    disc = _torch_disc(params)
+    x = torch.tensor(real, requires_grad=True)
+    pred = disc(x).reshape(-1)
+    grad_x = torch.autograd.grad(pred.sum(), x, create_graph=True)[0]
+    r1_torch = grad_x.pow(2).view(4, -1).sum(1).mean()
+    np.testing.assert_allclose(r1_jax, float(r1_torch), rtol=1e-4, atol=1e-6)
+
+    # second order: d r1 / d conv1.weight
+    jgrads = jax.grad(lambda p: r1_penalty(p, jnp.array(real)))(params)
+    disc.zero_grad()
+    r1_torch.backward()
+    np.testing.assert_allclose(
+        np.asarray(jgrads["conv1"]["w"]),
+        disc[0].weight.grad.numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_pix_rec_training_descends():
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(1), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(2), EncoderDef(enc_dim=8, features_e=8))
+    from gan_discovery_pso_tpu.train.inverter import PixRecState
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+
+    tx = make_optimizer(ADAM)
+    state = PixRecState(ep, tx.init(ep), jnp.asarray(0, jnp.int32))
+    train_step, eval_step = make_pix_rec_step(gp, gs, ADAM)
+    real = jnp.asarray(np.random.RandomState(3).rand(16, 1, 28, 28) * 2 - 1, jnp.float32)
+    first = float(eval_step(state, real))
+    for _ in range(30):
+        state, loss = train_step(state, real)
+    last = float(eval_step(state, real))
+    assert np.isfinite(last) and last < first
+
+
+def test_pix_fea_rec_adv_step_runs_and_reports():
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(4), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(5), EncoderDef(enc_dim=8, features_e=8))
+    dp, _ = discriminator_init(jax.random.key(6), DiscriminatorDef(features_d=8))
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    rp, rs = resnet_init(jax.random.key(7), rdef, init="glorot_normal")
+
+    from gan_discovery_pso_tpu.train.inverter import PixFeaRecAdvState
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+
+    tx = make_optimizer(ADAM)
+    state = PixFeaRecAdvState(ep, dp, tx.init(ep), tx.init(dp), jnp.asarray(0, jnp.int32))
+    train_step, eval_step = make_pix_fea_rec_adv_step(gp, gs, rp, rs, rdef, ADAM, ADAM)
+
+    real = jnp.asarray(np.random.RandomState(8).rand(4, 1, 28, 28) * 2 - 1, jnp.float32)
+    state, m = train_step(state, real, jax.random.key(8))
+    for k in ("loss_disc", "loss_disc_r1penalty", "loss_enc", "loss_enc_rec_pix",
+              "loss_enc_rec_fea", "loss_enc_adv"):
+        assert np.isfinite(float(m[k])), k
+    em = eval_step(state, real, jax.random.key(9))
+    assert np.isfinite(float(em["loss_enc"]))
+
+
+def test_invert_descends_and_batches():
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(10), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(11), EncoderDef(enc_dim=8, features_e=8))
+    x = jnp.asarray(np.random.RandomState(9).rand(3, 1, 28, 28) * 2 - 1, jnp.float32)
+    z, hist = invert(x, gp, gs, ep, iterations=40)
+    assert z.shape == (3, 8, 1, 1)
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_invert_bn_mixes_class_statistics():
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(12), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(13), EncoderDef(enc_dim=8, features_e=8))
+    x = jnp.asarray(np.random.RandomState(10).rand(2, 1, 28, 28) * 2 - 1, jnp.float32)
+    particles = jnp.asarray(np.random.RandomState(11).randn(4, 32, 8), jnp.float32)
+    z, w, hist = invert_bn(x, gp, gs, ep, particles, iterations=20)
+    assert z.shape == (2, 8, 1, 1)
+    assert w.shape == (4,)
+    assert np.all(np.isfinite(hist["loss"]))
+
+
+def test_vqvae_frozen_decoder_stays_frozen():
+    d = VQVAEGanDef(channels_img=1, embedded_dim=16, num_embedding=32,
+                    features_g=8, features_d=8)
+    gp, gs = generator_init(jax.random.key(14), GeneratorDef(16, 1, 8))
+    state, _ = vqvae_init(jax.random.key(15), d, ADAM, frozen_gen=(gp, gs))
+    dec0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params["decoder"])
+    cb0 = np.asarray(state.params["codebook"]).copy()
+
+    train_step, eval_step = make_vqvae_steps(d, ADAM, frozen_decoder=True)
+    x = jnp.asarray(np.random.RandomState(12).rand(8, 1, 28, 28) * 2 - 1, jnp.float32)
+    for _ in range(3):
+        state, m = train_step(state, x)
+        assert np.isfinite(float(m["loss"]))
+    # decoder unchanged, codebook + encoder moved
+    for a, b in zip(jax.tree.leaves(dec0), jax.tree.leaves(state.params["decoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(cb0, np.asarray(state.params["codebook"]))
+
+
+def test_train_cnn_binary_and_early_stopping():
+    rdef = ResNetDef("ResNet50", 1, 2, (0, 1))
+    x = jnp.asarray(np.random.RandomState(13).rand(32, 1, 28, 28), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(14).randint(0, 10, 32), jnp.int32)
+
+    def batches(_epoch):
+        yield x[:16], y[:16]
+        yield x[16:], y[16:]
+
+    state, history, best_epoch = train_cnn(
+        jax.random.key(16), rdef, ADAM, batches, batches,
+        num_epochs=2, early_stopping=20, label=3,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    assert set(history) >= {"train_f1", "val_prec", "val_rec", "val_acc"}
+
+
+def test_cae_training_and_embedding_csv(tmp_path):
+    d = CAEDef(latent_dim=6)
+    state, _ = cae_init(jax.random.key(17), d, ADAM)
+    train_step, eval_step = make_cae_steps(d, ADAM, task="denoising")
+    x = jnp.asarray(np.random.RandomState(15).rand(32, 1, 28, 28), jnp.float32)
+    first = float(eval_step(state, x, jax.random.key(18)))
+    for i in range(20):
+        state, loss = train_step(state, x, jax.random.key(100 + i))
+    last = float(eval_step(state, x, jax.random.key(19)))
+    assert last < first
+
+    emb = encode_dataset(state, x, chunk=16)
+    assert emb.shape == (32, 6)
+    df = save_encoded_samples_csv(tmp_path / "encoded_samples_train.csv", emb,
+                                  np.zeros(32, np.int32))
+    assert (tmp_path / "encoded_samples_train.csv").exists()
+    assert list(df.columns) == [f"var_{i}" for i in range(6)] + ["label"]
