@@ -32,9 +32,9 @@ _DIMS = ("NCHW", "OIHW", "NCHW")
 
 # fp32 output fidelity vs the torch reference is the parity contract
 # (BASELINE.md): JAX's default conv precision is reduced (bf16 passes), so
-# every op here requests full fp32 accumulation explicitly. Hot paths that
-# can tolerate bf16 pass `precision=lax.Precision.DEFAULT` themselves.
-_PRECISION = lax.Precision.HIGHEST
+# every op here requests full fp32 accumulation by default. The opt-in
+# bf16 fast path flips this at trace time (ops/precision.fast_math).
+from gan_discovery_pso_tpu.ops.precision import default_precision
 
 
 def conv2d(
@@ -45,9 +45,15 @@ def conv2d(
     padding: int | tuple[int, int] = 0,
     *,
     preferred_dtype=jnp.float32,
-    precision=_PRECISION,
+    precision=None,
 ) -> jax.Array:
     """torch.nn.functional.conv2d equivalent (NCHW, OIHW weight)."""
+    if precision is None:
+        precision = default_precision()
+    # mixed precision: multiply in the weights' dtype (bf16 on the fast
+    # path), accumulate in preferred_dtype (fp32) — the MXU-native recipe
+    if x.dtype != weight.dtype:
+        x = x.astype(weight.dtype)
     s = _pair(stride)
     p = _pair(padding)
     out = lax.conv_general_dilated(
@@ -73,12 +79,16 @@ def conv_transpose2d(
     output_padding: int | tuple[int, int] = 0,
     *,
     preferred_dtype=jnp.float32,
-    precision=_PRECISION,
+    precision=None,
 ) -> jax.Array:
     """torch.nn.functional.conv_transpose2d equivalent.
 
     weight layout (I, O, kH, kW) — torch's ConvTranspose2d layout.
     """
+    if precision is None:
+        precision = default_precision()
+    if x.dtype != weight.dtype:
+        x = x.astype(weight.dtype)
     s = _pair(stride)
     p = _pair(padding)
     op = _pair(output_padding)

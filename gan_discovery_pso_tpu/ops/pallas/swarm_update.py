@@ -68,14 +68,16 @@ def _kernel(
     out_pbv_ref[:] = pbv_new
     out_pbp_ref[:] = pbp_new
 
-    # 2) global best: argmin over valid rows
+    # 2) global best: argmin over valid rows. Mosaic has no dynamic_slice on
+    # values, so the winning row is extracted with a one-hot masked reduce.
     col = pbv_new[:, 0]
     cand_idx = jnp.argmin(col)
     cand_val = jnp.min(col)
     g_improved = cand_val < g_best_val
-    cand_row = jax.lax.dynamic_slice(
-        pbp_new, (cand_idx, jnp.asarray(0, cand_idx.dtype)), (1, pbp_new.shape[1])
-    )  # [1, d]
+    is_cand = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cand_idx.astype(jnp.int32)
+    )
+    cand_row = jnp.sum(jnp.where(is_cand, pbp_new, 0.0), axis=0, keepdims=True)  # [1, d]
     gbp_old = gbp_ref[0:1, :]
     gbp_new = jnp.where(g_improved, cand_row, gbp_old)
     out_gbp_ref[:] = jnp.broadcast_to(gbp_new, out_gbp_ref.shape)

@@ -66,15 +66,26 @@ def make_discovery_fitness(
     threshold: float = 0.0,
     eps: float = 0.1,
     return_images: bool = False,
+    dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
-    """Swarm-batched discovery fitness. positions [N,d] → values [N]."""
+    """Swarm-batched discovery fitness. positions [N,d] → values [N].
+
+    dtype=jnp.bfloat16 casts model params once and runs the forwards with
+    MXU-native precision (wrap the jit trace in ops.precision.fast_math());
+    the fitness math stays fp32. Default keeps the fp32 parity path."""
+    if dtype is not None:
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        gen_params, gen_state = cast(gen_params), cast(gen_state)
+        cnn_params, cnn_state = cast(cnn_params), cast(cnn_state)
 
     def fitness(positions: jax.Array):
         z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+        if dtype is not None:
+            z = z.astype(dtype)
         img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
-        img01 = rescale01_per_sample(img)
+        img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
         logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-        p = assessor_posterior(logits, class_idx)
+        p = assessor_posterior(logits.astype(jnp.float32), class_idx)
         vals = fitness_from_posterior(p, control, threshold, eps)
         if return_images:
             return vals, (img01, img)
