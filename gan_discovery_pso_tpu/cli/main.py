@@ -101,6 +101,10 @@ def main(argv=None):
             p.add_argument("--latent-dims", type=int, nargs="*",
                            default=[2, 3, 4, 6, 8, 10, 20, 30, 100])
             p.add_argument("--stages", nargs="*", default=["dcgan", "pso-discovery"])
+            # per-patient sweep ≡ reference start_pso_optimize.sh:3-16
+            p.add_argument("--patients", type=int, nargs="*", default=None)
+            p.add_argument("--controls", nargs="*",
+                           default=["optimize_in_training", "optimize_out_training"])
 
     args = parser.parse_args(argv)
     return dispatch(args)
@@ -131,6 +135,20 @@ def dispatch(args):
     stage = args.stage
 
     if stage == "sweep":
+        if getattr(args, "patients", None):
+            # per-patient × control sweep ≡ reference start_pso_optimize.sh:3-16
+            for patient in args.patients:
+                for control in args.controls:
+                    leg_args = argparse.Namespace(**vars(args))
+                    leg_args.stage = "pso-inverter"
+                    leg_args.ood_patient = patient
+                    leg_args.set = list(args.set) + [
+                        f"pso_inverter.ood_patient={patient}",
+                        f"trainer_pso_inverter.control_pso_fitness={control}",
+                    ]
+                    print(f"[sweep] patient={patient} control={control}")
+                    dispatch(leg_args)
+            return 0
         # latent-dim sweep ≡ reference start.sh:11-36
         for dim in args.latent_dims:
             for leg in args.stages:

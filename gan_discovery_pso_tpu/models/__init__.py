@@ -37,6 +37,9 @@ from gan_discovery_pso_tpu.models.resnet import (
 )
 from gan_discovery_pso_tpu.models.vqvae import (
     VQVAEGanDef,
+    VQVAEDef,
+    VQVAEMnistDef,
+    get_vqvae,
     vqvae_gan_init,
     vqvae_gan_apply,
     vqvae_gan_encode_indices,
@@ -49,3 +52,10 @@ from gan_discovery_pso_tpu.models.vqvae import (
     load_frozen_decoder,
 )
 from gan_discovery_pso_tpu.models.layers import count_params
+from gan_discovery_pso_tpu.models.pixelcnn import (
+    PixelCNNDef,
+    pixelcnn_init,
+    pixelcnn_apply,
+    pixelcnn_loss,
+    pixelcnn_generate,
+)

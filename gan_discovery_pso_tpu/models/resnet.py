@@ -168,6 +168,11 @@ class AlexNetDef(NamedTuple):
     kernel: int = 3
     padding: int = 0  # reference config uses 'valid' → 0
     alpha: float = 0.2  # LeakyReLU slope
+    iid_classes: tuple = ()
+
+    def class_to_idx(self) -> dict:
+        """Sorted-label → logit-column map (reference util_cnn.py:204-205)."""
+        return {c: i for i, c in enumerate(sorted(self.iid_classes))}
 
     def conv_sizes(self) -> list:
         """Spatial size after each conv+pool (the reference derives this with

@@ -36,7 +36,12 @@ from gan_discovery_pso_tpu.models.dcgan import (
     generator_apply,
     generator_init,
 )
-from gan_discovery_pso_tpu.ops import batch_norm_eval, batch_norm_train, conv2d
+from gan_discovery_pso_tpu.ops import (
+    batch_norm_eval,
+    batch_norm_train,
+    conv2d,
+    conv_transpose2d,
+)
 
 
 # -- vector quantization ------------------------------------------------------
@@ -194,6 +199,159 @@ def vqvae_gan_decode_indices(params, state, idx, d: VQVAEGanDef):
     z_q = jnp.moveaxis(z_q, -1, 1)
     img, _ = generator_apply(params["decoder"], state["decoder"], z_q, train=False)
     return img
+
+
+# ---------------------------------------------------------------------------
+# vqvae / vqvae_mnist: the other two reference variants (util_model.py:23-31)
+# ---------------------------------------------------------------------------
+
+
+class VQVAEDef(NamedTuple):
+    """`vqvae` variant (util_model.py:179-222): conv stack + two BN res-blocks
+    on each side of the codebook, latent grid 7x7 for 28x28 inputs."""
+
+    channels_img: int = 1
+    embedded_dim: int = 64
+    num_embedding: int = 512
+
+
+def _resblock_bn_init(key, dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": L.conv_params(k1, dim, dim, 3, init="glorot_uniform"),
+        "bn1": L.bn_params(dim),
+        "conv2": L.conv_params(k2, dim, dim, 1, init="glorot_uniform"),
+        "bn2": L.bn_params(dim),
+    }
+
+
+def _resblock_bn_state(dim):
+    return {"bn1": L.bn_state(dim), "bn2": L.bn_state(dim)}
+
+
+def _resblock_bn_apply(p, st, x, train):
+    """ReLU→Conv3→BN→ReLU→Conv1→BN residual (ResBlockBatchNorm,
+    util_model.py:151-164)."""
+    h = jax.nn.relu(x)
+    h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], stride=1, padding=1)
+    if train:
+        h, s1 = batch_norm_train(h, p["bn1"]["scale"], p["bn1"]["bias"], st["bn1"])
+    else:
+        h, s1 = batch_norm_eval(h, p["bn1"]["scale"], p["bn1"]["bias"], st["bn1"]), st["bn1"]
+    h = jax.nn.relu(h)
+    h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"], stride=1, padding=0)
+    if train:
+        h, s2 = batch_norm_train(h, p["bn2"]["scale"], p["bn2"]["bias"], st["bn2"])
+    else:
+        h, s2 = batch_norm_eval(h, p["bn2"]["scale"], p["bn2"]["bias"], st["bn2"]), st["bn2"]
+    return x + h, {"bn1": s1, "bn2": s2}
+
+
+def vqvae_init(key, d: VQVAEDef, data_pso=None):
+    ks = iter(jax.random.split(key, 16))
+    dim = d.embedded_dim
+    params = {
+        "enc_conv1": L.conv_params(next(ks), d.channels_img, dim, 4, init="glorot_uniform"),
+        "enc_bn1": L.bn_params(dim),
+        "enc_conv2": L.conv_params(next(ks), dim, dim, 4, init="glorot_uniform"),
+        "enc_res1": _resblock_bn_init(next(ks), dim),
+        "enc_res2": _resblock_bn_init(next(ks), dim),
+        "codebook": codebook_from_pso(data_pso) if data_pso is not None
+        else codebook_init(next(ks), d.num_embedding, dim),
+        "dec_res1": _resblock_bn_init(next(ks), dim),
+        "dec_res2": _resblock_bn_init(next(ks), dim),
+        "dec_convt1": L.conv_transpose_params(next(ks), dim, dim, 4, init="glorot_uniform"),
+        "dec_bn1": L.bn_params(dim),
+        "dec_convt2": L.conv_transpose_params(next(ks), dim, d.channels_img, 4, init="glorot_uniform"),
+    }
+    state = {
+        "enc_bn1": L.bn_state(dim),
+        "enc_res1": _resblock_bn_state(dim),
+        "enc_res2": _resblock_bn_state(dim),
+        "dec_res1": _resblock_bn_state(dim),
+        "dec_res2": _resblock_bn_state(dim),
+        "dec_bn1": L.bn_state(dim),
+    }
+    return params, state
+
+
+def vqvae_apply(params, state, x, d: VQVAEDef, train: bool = False):
+    """`vqvae` forward (util_model.py:218-222): encoder Conv4s2 + BN + ReLU,
+    Conv4s2, 2 res-blocks → VQ → 2 res-blocks, ReLU, ConvT4s2 + BN + ReLU,
+    ConvT4s2 + Tanh."""
+    ns = {}
+    h = conv2d(x, params["enc_conv1"]["w"], params["enc_conv1"]["b"], stride=2, padding=1)
+    if train:
+        h, ns["enc_bn1"] = batch_norm_train(h, params["enc_bn1"]["scale"], params["enc_bn1"]["bias"], state["enc_bn1"])
+    else:
+        h, ns["enc_bn1"] = batch_norm_eval(h, params["enc_bn1"]["scale"], params["enc_bn1"]["bias"], state["enc_bn1"]), state["enc_bn1"]
+    h = jax.nn.relu(h)
+    h = conv2d(h, params["enc_conv2"]["w"], params["enc_conv2"]["b"], stride=2, padding=1)
+    h, ns["enc_res1"] = _resblock_bn_apply(params["enc_res1"], state["enc_res1"], h, train)
+    z_e, ns["enc_res2"] = _resblock_bn_apply(params["enc_res2"], state["enc_res2"], h, train)
+
+    z_q_st, z_q_bar, idx = vq_straight_through(z_e, params["codebook"])
+
+    h, ns["dec_res1"] = _resblock_bn_apply(params["dec_res1"], state["dec_res1"], z_q_st, train)
+    h, ns["dec_res2"] = _resblock_bn_apply(params["dec_res2"], state["dec_res2"], h, train)
+    h = jax.nn.relu(h)
+    h = conv_transpose2d(h, params["dec_convt1"]["w"], params["dec_convt1"]["b"], stride=2, padding=1)
+    if train:
+        h, ns["dec_bn1"] = batch_norm_train(h, params["dec_bn1"]["scale"], params["dec_bn1"]["bias"], state["dec_bn1"])
+    else:
+        h, ns["dec_bn1"] = batch_norm_eval(h, params["dec_bn1"]["scale"], params["dec_bn1"]["bias"], state["dec_bn1"]), state["dec_bn1"]
+    h = jax.nn.relu(h)
+    h = conv_transpose2d(h, params["dec_convt2"]["w"], params["dec_convt2"]["b"], stride=2, padding=1)
+    return jnp.tanh(h), z_e, z_q_bar, idx, ns
+
+
+class VQVAEMnistDef(NamedTuple):
+    """`vqvae_mnist` variant (util_model.py:224-264): 3-conv encoder to a
+    1x1 latent, mirrored 3-convT decoder."""
+
+    channels_img: int = 1
+    embedded_dim: int = 64
+    num_embedding: int = 512
+    num_hiddens: int = 64
+
+
+def vqvae_mnist_init(key, d: VQVAEMnistDef, data_pso=None):
+    ks = iter(jax.random.split(key, 8))
+    nh = d.num_hiddens
+    params = {
+        "enc_conv1": L.conv_params(next(ks), d.channels_img, nh // 2, 4, init="glorot_uniform"),
+        "enc_conv2": L.conv_params(next(ks), nh // 2, nh, 4, init="glorot_uniform"),
+        "enc_conv3": L.conv_params(next(ks), nh, d.embedded_dim, 7, init="glorot_uniform"),
+        "codebook": codebook_from_pso(data_pso) if data_pso is not None
+        else codebook_init(next(ks), d.num_embedding, d.embedded_dim),
+        "dec_convt1": L.conv_transpose_params(next(ks), d.embedded_dim, nh, 7, init="glorot_uniform"),
+        "dec_convt2": L.conv_transpose_params(next(ks), nh, nh // 2, 4, init="glorot_uniform"),
+        "dec_convt3": L.conv_transpose_params(next(ks), nh // 2, d.channels_img, 4, init="glorot_uniform"),
+    }
+    return params, {}
+
+
+def vqvae_mnist_apply(params, state, x, d: VQVAEMnistDef, train: bool = False):
+    h = jax.nn.relu(conv2d(x, params["enc_conv1"]["w"], params["enc_conv1"]["b"], stride=2, padding=1))
+    h = jax.nn.relu(conv2d(h, params["enc_conv2"]["w"], params["enc_conv2"]["b"], stride=2, padding=1))
+    z_e = conv2d(h, params["enc_conv3"]["w"], params["enc_conv3"]["b"], stride=2, padding=0)
+    z_q_st, z_q_bar, idx = vq_straight_through(z_e, params["codebook"])
+    h = jax.nn.relu(conv_transpose2d(z_q_st, params["dec_convt1"]["w"], params["dec_convt1"]["b"], stride=2, padding=0))
+    h = jax.nn.relu(conv_transpose2d(h, params["dec_convt2"]["w"], params["dec_convt2"]["b"], stride=2, padding=1))
+    h = conv_transpose2d(h, params["dec_convt3"]["w"], params["dec_convt3"]["b"], stride=2, padding=1)
+    return jnp.tanh(h), z_e, z_q_bar, idx, state
+
+
+def get_vqvae(name: str):
+    """Variant factory (reference get_model, util_model.py:23-31):
+    returns (Def class, init, apply)."""
+    if name == "vqvae":
+        return VQVAEDef, vqvae_init, vqvae_apply
+    if name == "vqvae_mnist":
+        return VQVAEMnistDef, vqvae_mnist_init, vqvae_mnist_apply
+    if name == "vqvae_dcgan":
+        return VQVAEGanDef, vqvae_gan_init, vqvae_gan_apply
+    raise ValueError(name)
 
 
 def vq_loss_terms(x, x_tilde, z_e, z_q_bar, beta: float = 0.25):

@@ -16,7 +16,10 @@ from gan_discovery_pso_tpu.pipelines.stages import (
     run_regularize_inverter_statistics,
     run_vqvae,
 )
-from gan_discovery_pso_tpu.pipelines.pso_discovery import run_pso_discovery
+from gan_discovery_pso_tpu.pipelines.pso_discovery import (
+    run_pso_discovery,
+    run_pso_discovery_batched,
+)
 from gan_discovery_pso_tpu.pipelines.analysis_stages import (
     run_pso_analysis,
     run_pso_analysis_clustering,

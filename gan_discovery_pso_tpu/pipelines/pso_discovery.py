@@ -49,9 +49,22 @@ def run_pso_discovery(
     control: str = OPTIMIZE_OUT,
     threshold: float = 0.0,
     make_plots: bool = True,
+    batch_classes: bool = False,
 ) -> dict:
     """Returns {class_label: SwarmResult}. Models are passed in (the CLI
-    layer resolves them from prerequisite run dirs)."""
+    layer resolves them from prerequisite run dirs).
+
+    batch_classes=True advances ALL per-class swarms in lockstep as one
+    vmapped device program (every iteration batches n_classes × n_particles
+    fitness forwards) — the TPU-native replacement for the reference's
+    sequential per-class host loop (src/training/pso_discovery.py:174);
+    see run_pso_discovery_batched."""
+    if batch_classes:
+        return run_pso_discovery_batched(
+            ctx, gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+            classes=classes, control=control, threshold=threshold,
+            make_plots=make_plots,
+        )
     hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
     if classes is None:
         classes = ctx.data_cfg.iid_classes
@@ -105,6 +118,76 @@ def run_pso_discovery(
 
     ctx.run.write_timing(timings)
     ctx.notify("pso_discovery_done")
+    return results
+
+
+def run_pso_discovery_batched(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    classes=None,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    make_plots: bool = True,
+) -> dict:
+    """All class swarms in one vmapped optimize: G/assessor forwards batch
+    [n_classes · n_particles] per iteration, amortizing small-op overhead
+    across the sweep. Swarms stay fully independent (vmap axis), preserving
+    the reference's never-communicating-swarms semantics (SURVEY.md §5.8)."""
+    import time as _time
+
+    hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
+    if classes is None:
+        classes = ctx.data_cfg.iid_classes
+    c2i = cnn_def.class_to_idx()
+    idxs = jnp.asarray([c2i.get(c, 1) for c in classes], jnp.int32)
+
+    fitness_dyn = make_discovery_fitness_dynamic(
+        gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+        control=control, threshold=threshold,
+    )
+
+    def one(ci, key):
+        return optimize(key, lambda pos: fitness_dyn(pos, ci), hp)
+
+    run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+    keys = jnp.stack([
+        ctx.keys.child(f"class_{label}")("pso") for label in classes
+    ])
+
+    t0 = _time.time()
+    finals, hists, inits = run(idxs, keys)
+    jax.block_until_ready(finals)
+    wall = _time.time() - t0
+
+    results: dict = {}
+    for i, label in enumerate(classes):
+        res = SwarmResult(
+            jax.tree.map(lambda a, i=i: a[i], finals),
+            jax.tree.map(lambda a, i=i: a[i], hists),
+            jax.tree.map(lambda a, i=i: a[i], inits),
+            hp,
+        )
+        results[label] = res
+        save_particle_histories(
+            ctx.run.interim_dir, label,
+            res.particle_trajectories(), res.velocity_trajectories(), kind="iid",
+        )
+        if make_plots:
+            reporting.plot_convergence(
+                res.history_dict()["global_best_val"],
+                ctx.run.reports_dir / f"convergence_class_{label}.png",
+                title=f"class {label}",
+            )
+        print(
+            f"[pso_discovery/batched] class {label}: "
+            f"g_best={float(res.g_best_val):.5f} iters={res.last_iteration}"
+        )
+    ctx.run.write_timing({"training_time_all_classes": wall})
+    print(f"[pso_discovery/batched] {len(classes)} swarms in {wall:.2f}s wall")
     return results
 
 

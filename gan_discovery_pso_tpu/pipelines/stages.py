@@ -254,6 +254,27 @@ def load_gan(model_dir: str | Path, best: bool = True):
 # ---------------------------------------------------------------------------
 
 
+def _assessor(ctx: StageContext, n_class: int):
+    """Model factory matching the reference get_cnn (util_cnn.py:24-38):
+    returns (mdef, init_fn, apply_fn) for ResNet50/101/152 or AlexNet."""
+    name = str(ctx.cfg.model_cnn.model_name)
+    iid = tuple(ctx.data_cfg.iid_classes)
+    if name.startswith("ResNet"):
+        return ResNetDef(name, ctx.data_cfg.channel, n_class, iid), None, None
+    if name == "AlexNet":
+        from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_apply, alexnet_init
+
+        net = ctx.cfg.model_cnn.get("network", {})
+        pad = 0 if str(net.get("padding", "valid")) == "valid" else 1
+        mdef = AlexNetDef(
+            image_channels=ctx.data_cfg.channel, n_class=n_class,
+            img_size=ctx.data_cfg.image_size, kernel=int(net.get("kernel", 3)),
+            padding=pad, iid_classes=iid,
+        )
+        return mdef, (lambda k, d, init: alexnet_init(k, d, init=init)), alexnet_apply
+    raise ValueError(name)
+
+
 def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
     """Per-class one-vs-all battery (reference cnn.py:154-246)."""
     cfg = ctx.cfg
@@ -269,13 +290,12 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
 
     models = {}
     for label in classes:
-        rdef = ResNetDef(str(cfg.model_cnn.model_name), ctx.data_cfg.channel, 2,
-                         tuple(ctx.data_cfg.iid_classes))
+        rdef, init_fn, apply_fn = _assessor(ctx, 2)
         state, history, best_epoch = train_cnn(
             ctx.keys.child(f"cnn_{label}")("init"), rdef, adam,
             ctx.batches(tr, bs), ctx.batches(va, bs),
             num_epochs=epochs, early_stopping=early, scheduler_patience=patience,
-            label=label, init="glorot_normal",
+            label=label, init="glorot_normal", init_fn=init_fn, apply_fn=apply_fn,
         )
         ctx.ckpt.save_state_dict(f"model_{label}", {"params": state.params, "state": state.model_state})
         reporting.plot_training_curves(history, ctx.run.reports_dir / f"cnn_{label}.png")
@@ -290,8 +310,7 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
     bs = int(cfg.trainer_cnn.batch_size)
     epochs = epochs if epochs is not None else int(cfg.trainer_cnn.epochs)
     iid = tuple(ctx.data_cfg.iid_classes)
-    rdef = ResNetDef(str(cfg.model_cnn.model_name), ctx.data_cfg.channel,
-                     len(iid), iid)
+    rdef, init_fn, apply_fn = _assessor(ctx, len(iid))
 
     ds = ctx.dataset("train", drange=(0, 1))
     tr, va = train_val_split(ds, 0.2)
@@ -301,7 +320,7 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
         num_epochs=epochs,
         early_stopping=int(cfg.trainer_cnn.early_stopping),
         scheduler_patience=int(cfg.trainer_cnn.scheduler.patience),
-        label=None, init="glorot_normal",
+        label=None, init="glorot_normal", init_fn=init_fn, apply_fn=apply_fn,
     )
     ctx.ckpt.save_state_dict("model", {"params": state.params, "state": state.model_state})
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cnn_multipatient.png")

@@ -94,15 +94,21 @@ def counts_to_metrics(counts: EpochCounts, average: str) -> dict:
     }
 
 
-def make_cnn_steps(rdef: ResNetDef, adam: AdamConfig):
+def make_cnn_steps(rdef, adam: AdamConfig, apply_fn=None):
     """(train_step, eval_step) jitted closures. Labels arrive already mapped
-    (binarized or class_to_idx-remapped by the caller)."""
+    (binarized or class_to_idx-remapped by the caller).
+
+    apply_fn(params, model_state, x, mdef, train) defaults to the ResNet
+    assessor; pass models.alexnet_apply (with an AlexNetDef as `rdef`) for
+    the AlexNet battery (reference get_cnn factory, util_cnn.py:24-38)."""
+    if apply_fn is None:
+        apply_fn = resnet_apply
     tx = make_optimizer(adam)
 
     @jax.jit
     def train_step(state: CnnTrainState, x, y, counts: EpochCounts):
         def loss_fn(p):
-            logits, new_ms = resnet_apply(p, state.model_state, x, rdef, train=True)
+            logits, new_ms = apply_fn(p, state.model_state, x, rdef, train=True)
             return cross_entropy_loss(logits, y), (logits, new_ms)
 
         (loss, (logits, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -117,7 +123,7 @@ def make_cnn_steps(rdef: ResNetDef, adam: AdamConfig):
 
     @jax.jit
     def eval_step(state: CnnTrainState, x, y, counts: EpochCounts):
-        logits, _ = resnet_apply(state.params, state.model_state, x, rdef, train=False)
+        logits, _ = apply_fn(state.params, state.model_state, x, rdef, train=False)
         loss = cross_entropy_loss(logits, y)
         return _update_counts(counts, loss, logits, y)
 
@@ -138,6 +144,8 @@ def train_cnn(
     init_state: CnnTrainState | None = None,
     metrics_writer=None,
     average: str | None = None,
+    apply_fn=None,
+    init_fn=None,
 ):
     """Epoch driver. `label` switches binary mode: y ← (y == label)
     (reference util_cnn.py:309-311); otherwise labels are remapped through
@@ -151,14 +159,14 @@ def train_cnn(
     if average is None:
         average = "binary" if label is not None else "macro"
     if init_state is None:
-        params, model_state = resnet_init(key, rdef, init=init)
+        params, model_state = (init_fn or resnet_init)(key, rdef, init=init)
         tx = make_optimizer(adam)
         init_state = CnnTrainState(
             params, model_state, tx.init(params), jnp.asarray(1.0, jnp.float32),
             jnp.asarray(0, jnp.int32),
         )
     state = init_state
-    train_step, eval_step = make_cnn_steps(rdef, adam)
+    train_step, eval_step = make_cnn_steps(rdef, adam, apply_fn=apply_fn)
 
     c2i = rdef.class_to_idx()
     lut = np.zeros(max(max(c2i, default=0) + 1, 1), np.int32)

@@ -353,3 +353,45 @@ def test_vqvae_gan_forward_shapes_and_loss():
     assert idx.shape == (4, 1, 1)
     lr, lvq, lc = vq_loss_terms(x, x_tilde, z_e, z_q_bar, beta=0.25)
     assert np.isfinite(float(lr + lvq + lc))
+
+
+def test_vqvae_variant_factory_shapes():
+    """All three reference VQ-VAE variants (util_model.py:23-31) forward with
+    their documented latent grids."""
+    from gan_discovery_pso_tpu.models import get_vqvae
+
+    expect = {"vqvae": (7, 7), "vqvae_mnist": (1, 1), "vqvae_dcgan": (1, 1)}
+    for name, grid in expect.items():
+        Def, init, apply = get_vqvae(name)
+        d = Def()
+        params, state = init(jax.random.key(20), d)
+        x = jnp.zeros((2, 1, 28, 28))
+        x_tilde, z_e, z_q_bar, idx, _ = apply(params, state, x, d, train=False)
+        assert x_tilde.shape == (2, 1, 28, 28), name
+        assert idx.shape == (2, *grid), name
+        # reconstruction in [-1, 1] (tanh head)
+        assert float(jnp.abs(x_tilde).max()) <= 1.0
+
+
+def test_alexnet_training_path():
+    """train_cnn drives AlexNet through the pluggable apply/init hooks
+    (reference get_cnn factory, util_cnn.py:24-38)."""
+    from gan_discovery_pso_tpu.core.config import AdamConfig
+    from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_apply, alexnet_init
+    from gan_discovery_pso_tpu.train import train_cnn
+
+    d = AlexNetDef(image_channels=1, n_class=2, img_size=64)
+    x = jnp.asarray(np.random.RandomState(30).rand(16, 1, 64, 64), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(31).randint(0, 10, 16), jnp.int32)
+
+    def batches(_e):
+        yield x, y
+
+    state, hist, _ = train_cnn(
+        jax.random.key(21), d, AdamConfig(lr=1e-3), batches, batches,
+        num_epochs=2, label=3,
+        apply_fn=alexnet_apply,
+        init_fn=lambda k, dd, init: alexnet_init(k, dd, init=init),
+    )
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])

@@ -265,3 +265,38 @@ def test_vqvae_and_analyses(roots, artifacts):
     rd = run_pso_analysis_distance(ctxD, ctx5.run.interim_dir, classes=(0, 2))
     assert "within_0" in rd and "between_0_2" in rd
     assert (ctxD.run.reports_dir / "distance_summary.json").exists()
+
+
+def test_pso_discovery_batched_matches_contract(roots, artifacts):
+    """Batched (vmapped) multi-class discovery produces the same artifact
+    contract and per-class results consistent with independent swarms."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+
+    ctx = _ctx(roots, "pso_discovery_batched")
+    from gan_discovery_pso_tpu.pipelines import run_pso_discovery_batched
+
+    results = run_pso_discovery_batched(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    for label in (0, 2):
+        res = results[label]
+        assert np.isfinite(float(res.g_best_val))
+        assert res.particle_trajectories().shape == (5, 8, 8)
+        assert (ctx.run.interim_dir / f"particles_position_iid_class_{label}.pkl").exists()
+
+    # same seeds as the sequential path -> identical trajectories
+    ctx2 = _ctx(roots, "pso_discovery_seq_check")
+    # rebuild with the same KeyChain seed: child(f"class_{label}") streams match
+    seq = run_pso_discovery(
+        ctx2, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    for label in (0, 2):
+        np.testing.assert_allclose(
+            np.asarray(results[label].g_best_val),
+            np.asarray(seq[label].g_best_val), rtol=1e-4, atol=1e-5,
+        )
