@@ -13,7 +13,6 @@ cross-stage file-system API and is kept bit-identical here.
 from __future__ import annotations
 
 import json
-import os
 import re
 import shutil
 import time

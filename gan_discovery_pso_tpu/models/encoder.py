@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from gan_discovery_pso_tpu.models import layers as L
 from gan_discovery_pso_tpu.ops import batch_norm_eval, batch_norm_train, conv2d

@@ -17,7 +17,7 @@ Layer counts: ResNet50 [3,4,6,3], ResNet101 [3,4,23,3], ResNet152 [3,8,36,3]
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

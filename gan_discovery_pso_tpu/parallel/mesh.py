@@ -15,8 +15,6 @@ independent processes or a leading vmapped axis sharded over "swarm".
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

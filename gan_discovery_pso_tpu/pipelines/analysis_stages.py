@@ -7,8 +7,6 @@ All host-side: they consume the particle artifacts written by the discovery
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from gan_discovery_pso_tpu.analysis import (

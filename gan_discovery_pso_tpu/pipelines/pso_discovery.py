@@ -18,8 +18,6 @@ parallel.make_multi_swarm_optimize when assessor params are stacked.
 from __future__ import annotations
 
 import time
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +28,6 @@ from gan_discovery_pso_tpu.pipelines.context import StageContext
 from gan_discovery_pso_tpu.pso import (
     OPTIMIZE_OUT,
     SwarmResult,
-    make_discovery_fitness,
     make_discovery_fitness_dynamic,
     optimize,
     save_particle_histories,

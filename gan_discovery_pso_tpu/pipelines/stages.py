@@ -13,7 +13,6 @@ reference readme_cnr.txt:46-87:
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 
 import jax
@@ -48,11 +47,9 @@ from gan_discovery_pso_tpu.pso import (
     load_final_particle_positions,
 )
 from gan_discovery_pso_tpu.train import (
-    cae_init,
     gan_init,
     invert,
     invert_bn,
-    make_cae_steps,
     make_gan_train_step,
     make_pix_fea_rec_adv_step,
     make_pix_rec_step,

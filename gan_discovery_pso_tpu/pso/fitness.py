@@ -19,7 +19,6 @@ batch-1 per particle:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

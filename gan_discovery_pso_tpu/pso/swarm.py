@@ -34,7 +34,6 @@ Reference semantics reproduced exactly (SURVEY.md §3.1):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -300,3 +300,23 @@ def test_pso_discovery_batched_matches_contract(roots, artifacts):
             np.asarray(results[label].g_best_val),
             np.asarray(seq[label].g_best_val), rtol=1e-4, atol=1e-5,
         )
+
+
+def test_cnn_per_class_battery(roots):
+    """run_cnn trains one binary assessor per requested class and saves
+    model_{label} artifacts (reference cnn.py:154-246)."""
+    from gan_discovery_pso_tpu.pipelines import run_cnn
+
+    ctx = _ctx(roots, "cnn")
+    models = run_cnn(ctx, epochs=1, classes=(0,))
+    assert set(models) == {0}
+    assert (ctx.run.models_dir / "model_0.msgpack").exists()
+    assert (ctx.run.reports_dir / "cnn_0.png").exists()
+    # reload as binary assessor
+    from gan_discovery_pso_tpu.models import ResNetDef, resnet_apply
+    from gan_discovery_pso_tpu.pipelines import load_cnn
+
+    rdef = ResNetDef("ResNet50", 1, 2, tuple(ctx.data_cfg.iid_classes))
+    params, state = load_cnn(ctx.run.models_dir, rdef, label=0)
+    logits, _ = resnet_apply(params, state, jnp.zeros((2, 1, 28, 28)), rdef)
+    assert logits.shape == (2, 2)
