@@ -21,6 +21,8 @@ from gan_discovery_pso_tpu.core.checkpoint import (
     Checkpointer,
 )
 from gan_discovery_pso_tpu.core.logging import Tee, MetricsWriter, format_time
+from gan_discovery_pso_tpu.core.profiling import trace, timed, throughput
+from gan_discovery_pso_tpu.core.checkpoint import restore_tree
 
 __all__ = [
     "Config",

@@ -57,6 +57,24 @@ def _to_host(x):
     return x
 
 
+def restore_into(template, plain):
+    """Restore a `_plainify`'d checkpoint into a typed template pytree:
+    NamedTuples rebuilt from field-name dicts, tuples/lists re-zipped,
+    leaves materialized as jnp arrays with the template's structure."""
+    if hasattr(template, "_fields"):  # NamedTuple
+        return type(template)(
+            **{f: restore_into(getattr(template, f), plain[f]) for f in template._fields}
+        )
+    if isinstance(template, dict):
+        return {k: restore_into(v, plain[k]) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        rebuilt = [restore_into(t, p) for t, p in zip(template, plain)]
+        return type(template)(rebuilt) if isinstance(template, tuple) else rebuilt
+    if plain is None:
+        return template
+    return jnp.asarray(plain)
+
+
 def restore_tree(node):
     """Inverse of `_plainify` for loaded checkpoints: lifts `{mean, var}`
     dicts back to BatchNormStats and materializes arrays as jnp."""

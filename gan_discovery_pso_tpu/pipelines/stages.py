@@ -174,15 +174,29 @@ def run_dcgan(
 
     state, _ = gan_init(ctx.keys("gan"), gdef, ddef, adam)
     offset = 0
+    history = {"loss_gen": [], "loss_disc": [], "fid": [], "is": [], "rec_loss_syn": []}
     if resume:
         prev = ctx.ckpt.try_load("checkpoint_g.msgpack")
         if prev is not None:
-            state = jax.tree.map(lambda t_, s: jnp.asarray(s), state, prev["state"])
+            # restore into the freshly-initialized template so NamedTuple
+            # types (GanTrainState, optax states, BatchNormStats) come back
+            from gan_discovery_pso_tpu.core.checkpoint import restore_into
+
+            state = restore_into(state, prev["state"])
             offset = prev["epoch"] + 1
+            # restore the metric history alongside the weights (the reference
+            # reloads history.pkl, util_dcgan.py:172-174)
+            hist_file = ctx.run.reports_dir / "history_gan.jsonl"
+            if hist_file.exists():
+                import json as _json
+
+                for line in hist_file.read_text().splitlines():
+                    row = _json.loads(line)
+                    for k in history:
+                        if k in row:
+                            history[k].append(row[k])
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
-
-    history = {"loss_gen": [], "loss_disc": [], "fid": [], "is": [], "rec_loss_syn": []}
     mw = ctx.metrics("history_gan")
     best_is, best_epoch, best_state = 0.0, offset, state
     fixed_noise_key = ctx.keys("fixed_noise")
@@ -497,25 +511,36 @@ def run_pso_inverter(
     epochs = fine_tune_epochs if fine_tune_epochs is not None else int(
         cfg.trainer_pso_inverter.epochs
     )
-    all_ds = ctx.dataset(
-        "train",
-        classes=tuple(ctx.data_cfg.iid_classes) + (ood_patient,),
-        drange=(0, 1),
-    )
-    tr, va = train_val_split(all_ds, 0.2)
-    tx = make_optimizer(adam)
-    init_state = CnnTrainState(reheaded, cnn_state, tx.init(reheaded),
-                               jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
-    bs = int(cfg.trainer_pso_inverter.batch_size)
-    fine_state, _h, _be = train_cnn(
-        ctx.keys("finetune"), bdef, adam,
-        ctx.batches(tr, bs), ctx.batches(va, bs),
-        num_epochs=epochs,
-        early_stopping=int(cfg.trainer_pso_inverter.early_stopping),
-        label=ood_patient, init_state=init_state,
-    )
-    ctx.ckpt.save_state_dict(f"model_{ood_patient}",
-                             {"params": fine_state.params, "state": fine_state.model_state})
+    # opportunistic resume: reuse an already-fine-tuned assessor
+    # (reference pso_inverter.py:224-231 try-load-else-train)
+    from gan_discovery_pso_tpu.core.checkpoint import restore_tree
+
+    saved = ctx.ckpt.try_load(f"model_{ood_patient}.msgpack")
+    if saved is not None:
+        from gan_discovery_pso_tpu.train.cnn import CnnTrainState as _CTS
+
+        fine_state = _CTS(restore_tree(saved["params"]), restore_tree(saved["state"]),
+                          None, jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    else:
+        all_ds = ctx.dataset(
+            "train",
+            classes=tuple(ctx.data_cfg.iid_classes) + (ood_patient,),
+            drange=(0, 1),
+        )
+        tr, va = train_val_split(all_ds, 0.2)
+        tx = make_optimizer(adam)
+        init_state = CnnTrainState(reheaded, cnn_state, tx.init(reheaded),
+                                   jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+        bs = int(cfg.trainer_pso_inverter.batch_size)
+        fine_state, _h, _be = train_cnn(
+            ctx.keys("finetune"), bdef, adam,
+            ctx.batches(tr, bs), ctx.batches(va, bs),
+            num_epochs=epochs,
+            early_stopping=int(cfg.trainer_pso_inverter.early_stopping),
+            label=ood_patient, init_state=init_state,
+        )
+        ctx.ckpt.save_state_dict(f"model_{ood_patient}",
+                                 {"params": fine_state.params, "state": fine_state.model_state})
 
     # --- phase 2: encoder-seeded swarm over the patient's slices
     ood = ctx.dataset("train", classes=(ood_patient,), drange=(-1, 1))

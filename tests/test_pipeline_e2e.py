@@ -320,3 +320,51 @@ def test_cnn_per_class_battery(roots):
     params, state = load_cnn(ctx.run.models_dir, rdef, label=0)
     logits, _ = resnet_apply(params, state, jnp.zeros((2, 1, 28, 28)), rdef)
     assert logits.shape == (2, 2)
+
+
+def test_dcgan_resume_restores_history_and_epoch(roots, artifacts):
+    """Resume continues from the checkpointed epoch with the metric history
+    reloaded (reference util_dcgan.py:162-177)."""
+    ctx_prev, _state, _hist = artifacts["dcgan"]
+    _ctx1, cae_state, _ = artifacts["cae"]
+    _ctx2, battery = artifacts["classifiers"]
+
+    # resume inside the SAME run dir as the original dcgan stage
+    ctx = _ctx(roots, "dcgan")
+    ctx.run = ctx_prev.run
+    ctx.ckpt = ctx_prev.ckpt
+    state2, hist2 = run_dcgan(ctx, cae_state, battery, epochs=1, n_synthetic=64,
+                              resume=True)
+    # history reloaded (1 eval row from the original epoch) + 1 new row
+    assert len(hist2["fid"]) == 2
+    saved = ctx.ckpt.load("checkpoint_g.msgpack")
+    assert saved["epoch"] == 1  # offset applied
+
+
+def test_pso_inverter_try_load_skips_finetune(roots, artifacts):
+    """A pre-existing model_{patient} checkpoint short-circuits phase 1
+    (reference pso_inverter.py:224-231)."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+    _ctx6, enc_params, _ = artifacts["inverter"]
+
+    ctx = _ctx(roots, "pso_inverter_resume", extra={
+        "pso_inverter.ood_patient": 5, "trainer_pso_inverter.epochs": 1})
+    # seed a fake fine-tuned assessor checkpoint
+    from gan_discovery_pso_tpu.models import change_classifier_head
+
+    reheaded = change_classifier_head(jax.random.key(99), cnn_state.params, 2)
+    ctx.ckpt.save_state_dict("model_5", {"params": reheaded,
+                                         "state": cnn_state.model_state})
+    import time as _t
+
+    t0 = _t.time()
+    res, fine_state = run_pso_inverter(
+        ctx, gan_state.gen_params, gan_state.gen_state, enc_params,
+        cnn_state.params, cnn_state.model_state, rdef,
+    )
+    # loaded params == the seeded checkpoint (no training happened)
+    np.testing.assert_array_equal(
+        np.asarray(fine_state.params["fc"]["w"]), np.asarray(reheaded["fc"]["w"])
+    )
+    assert np.isfinite(float(res.g_best_val))
