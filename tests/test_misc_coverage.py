@@ -1,0 +1,105 @@
+"""Coverage for smaller contracts: label smoothing ranges, optimizers,
+Tee/Notifier, profiling timers, postprocess, augment config plumbing."""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gan_discovery_pso_tpu.core.config import AdamConfig
+from gan_discovery_pso_tpu.core.logging import MetricsWriter, Notifier, Tee
+from gan_discovery_pso_tpu.core.profiling import throughput, timed
+from gan_discovery_pso_tpu.ops.rescale import postprocess_uint8
+from gan_discovery_pso_tpu.train.common import (
+    bce_from_logits,
+    bce_on_probs,
+    make_optimizer,
+    smooth_negative,
+    smooth_positive,
+)
+
+
+def test_label_smoothing_ranges():
+    """pos → [0.7, 1.2], neg → [0.0, 0.3] (reference util_dcgan.py:77-83)."""
+    k = jax.random.key(0)
+    pos = np.asarray(smooth_positive(k, (10000,)))
+    neg = np.asarray(smooth_negative(k, (10000,)))
+    assert pos.min() >= 0.7 and pos.max() <= 1.2
+    assert neg.min() >= 0.0 and neg.max() <= 0.3
+    # actually fills the range
+    assert pos.max() > 1.1 and pos.min() < 0.8
+    assert neg.max() > 0.25
+
+
+def test_bce_formulations_agree():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(32), jnp.float32)
+    targets = jnp.asarray(rng.rand(32), jnp.float32)
+    a = float(bce_from_logits(logits, targets))
+    b = float(bce_on_probs(jax.nn.sigmoid(logits), targets))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_optimizer_factory_variants():
+    import optax
+
+    adam = make_optimizer(AdamConfig(lr=1e-3, weight_decay=1e-5))
+    rms = make_optimizer(AdamConfig(lr=1e-3), name="RMSprop")
+    p = {"w": jnp.ones((3,))}
+    for tx in (adam, rms):
+        st = tx.init(p)
+        up, _ = tx.update({"w": jnp.ones((3,))}, st, p)
+        assert np.all(np.isfinite(np.asarray(up["w"])))
+    try:
+        make_optimizer(AdamConfig(), name="SGD")
+        assert False
+    except ValueError:
+        pass
+
+
+def test_tee_duplicates_stdout(tmp_path):
+    log = tmp_path / "log.txt"
+    with Tee(log):
+        print("hello tee")
+    assert "hello tee" in log.read_text()
+    # stdout restored
+    assert sys.stdout.isatty() or not isinstance(sys.stdout, Tee)
+
+
+def test_notifier_never_raises():
+    calls = []
+    n = Notifier(hook=lambda e, p: calls.append((e, p)))
+    n("start", run="x")
+    assert calls[0][0] == "start"
+    bad = Notifier(hook=lambda e, p: 1 / 0)
+    bad("boom")  # must swallow hook failures
+
+
+def test_metrics_writer_tensorboard_sink(tmp_path):
+    mw = MetricsWriter(tmp_path, "m", tensorboard=True)
+    mw.append(0, loss=1.5)
+    mw.append(1, loss=1.0)
+    assert mw.history()["loss"] == [1.5, 1.0]
+    mw.close()
+    assert (tmp_path / "m.csv").exists()
+    # TB event files written when torch tensorboard is available
+    tb_files = list((tmp_path / "logs" / "m").rglob("events.*"))
+    assert tb_files, "tensorboard sink produced no event files"
+
+
+def test_timed_and_throughput():
+    sink = {}
+    with timed(sink, "t"):
+        _ = jnp.ones((8, 8)).sum().block_until_ready()
+    assert sink["t"] > 0
+    tp = throughput(100, 2.0)
+    assert tp["evals_per_sec"] == 50.0
+
+
+def test_postprocess_uint8():
+    imgs = jnp.asarray([[[-1.0, 0.0, 1.0]]])
+    out = np.asarray(postprocess_uint8(imgs))
+    np.testing.assert_array_equal(out, [[[0, 128, 255]]])
+    assert out.dtype == np.uint8
