@@ -11,3 +11,4 @@ from gan_discovery_pso_tpu.parallel.swarm_sharding import (
     make_sharded_optimize,
     make_multi_swarm_optimize,
 )
+from gan_discovery_pso_tpu.parallel.shardmap_swarm import make_shardmap_optimize

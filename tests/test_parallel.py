@@ -135,3 +135,36 @@ def test_gan_train_step_decreases_nothing_nan():
         assert np.isfinite(float(metrics["loss_disc"]))
     assert int(state.step) == 5
     assert not np.allclose(np.asarray(jax.tree.leaves(state.gen_params)[0]), np.asarray(p0))
+
+
+def test_shardmap_optimize_matches_single_device():
+    """Hand-collectived shard_map swarm == single-device optimize (same key
+    streams; pmin + one-hot psum are the only cross-device ops)."""
+    from gan_discovery_pso_tpu.parallel import make_shardmap_optimize
+
+    hp = PsoConfig(n_iterations=20, n_particles=32, dim_space=4)
+    fit = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(7)
+
+    ref_final, ref_hist, _ = jax.jit(lambda k: optimize(k, fit, hp))(key)
+
+    mesh = make_mesh(8, "swarm")
+    run = make_shardmap_optimize(mesh, fit, hp)
+    out = run(key)
+
+    np.testing.assert_allclose(
+        np.asarray(out["g_best_trace"])[:5], np.asarray(ref_hist.g_best_val)[:5],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(out["g_best_val"]), float(ref_final.g_best_val), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["positions"]), np.asarray(ref_final.positions),
+        rtol=5e-2, atol=5e-3,
+    )
+    # uneven particle count rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_shardmap_optimize(mesh, fit, PsoConfig(n_particles=30, dim_space=4))
