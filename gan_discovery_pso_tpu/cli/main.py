@@ -106,7 +106,22 @@ def main(argv=None):
             p.add_argument("--controls", nargs="*",
                            default=["optimize_in_training", "optimize_out_training"])
 
+    # torch-checkpoint migration (no StageContext needed)
+    pc = sub.add_parser("convert-torch",
+                        help="import a reference PyTorch checkpoint")
+    pc.add_argument("src", help=".pt / .tar checkpoint from the reference")
+    pc.add_argument("model", choices=[
+        "generator", "discriminator", "encoder", "cae_encoder",
+        "cae_decoder", "resnet50", "resnet101", "resnet152"])
+    pc.add_argument("dst", help="output .msgpack path")
+
     args = parser.parse_args(argv)
+    if args.stage == "convert-torch":
+        from gan_discovery_pso_tpu.compat.torch_import import convert_torch_checkpoint
+
+        convert_torch_checkpoint(args.src, args.model, dst=args.dst)
+        print(f"[convert-torch] {args.src} ({args.model}) -> {args.dst}")
+        return 0
     return dispatch(args)
 
 
