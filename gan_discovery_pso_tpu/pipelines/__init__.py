@@ -15,6 +15,7 @@ from gan_discovery_pso_tpu.pipelines.stages import (
     run_regularize_inverter,
     run_regularize_inverter_statistics,
     run_vqvae,
+    run_pixelcnn_prior,
 )
 from gan_discovery_pso_tpu.pipelines.pso_discovery import (
     run_pso_discovery,

@@ -371,12 +371,60 @@ def run_inverter(
     val_iid = ctx.dataset("test", drange=(-1, 1))
     val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
 
-    enc_params, _ = encoder_init(
-        ctx.keys("enc"), EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
-    )
+    variant = str(cfg.model_inverter.get("encoder_variant", "dcgan") or "dcgan")
     tx = make_optimizer(adam)
     history: dict = {}
     mw = ctx.metrics("history_inverter")
+
+    if variant == "attgan":
+        # AttGAN-style stateful encoder (reference util_inverter.py:142-162);
+        # pix_rec path only (matching the reference's actually-run config)
+        if training_fun != "pix_rec":
+            raise NotImplementedError("attgan encoder supports pix_rec only")
+        from gan_discovery_pso_tpu.models import (
+            EncoderAttGANDef,
+            encoder_attgan_apply,
+            encoder_attgan_init,
+        )
+        from gan_discovery_pso_tpu.train.inverter import (
+            PixRecStatefulState,
+            make_pix_rec_step_stateful,
+        )
+
+        adef = EncoderAttGANDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+        aep, aes = encoder_attgan_init(ctx.keys("enc"), adef)
+        state = PixRecStatefulState(aep, aes, tx.init(aep), jnp.asarray(0, jnp.int32))
+        train_step, eval_step = make_pix_rec_step_stateful(
+            gen_params, gen_state, adam,
+            lambda p, st, x, train: encoder_attgan_apply(p, st, x, train=train),
+        )
+        best, best_params, best_state = np.inf, state.enc_params, state.enc_state
+        history = {"train_loss": [], "val_iid_loss": [], "val_ood_loss": []}
+        for epoch in range(epochs):
+            tl = []
+            for x, _y in ctx.batches(iid, bs)(epoch):
+                state, loss = train_step(state, x)
+                tl.append(float(loss))
+            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs)(epoch)]
+            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs)(epoch)]
+            tr_l = float(np.mean(tl))
+            vi_l = float(np.mean(vi)) if vi else np.nan
+            vo_l = float(np.mean(vo)) if vo else np.nan
+            history["train_loss"].append(tr_l)
+            history["val_iid_loss"].append(vi_l)
+            history["val_ood_loss"].append(vo_l)
+            mw.append(epoch, train_loss=tr_l, val_iid_loss=vi_l, val_ood_loss=vo_l)
+            if vi_l < best:
+                best, best_params, best_state = vi_l, state.enc_params, state.enc_state
+        ctx.ckpt.save_state_dict("encoder", {"params": best_params, "state": best_state,
+                                             "variant": "attgan"})
+        reporting.plot_training_curves(history, ctx.run.reports_dir / "inverter_training.png")
+        mw.close()
+        return best_params, history
+
+    enc_params, _ = encoder_init(
+        ctx.keys("enc"), EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+    )
 
     if training_fun == "pix_rec":
         state = PixRecState(enc_params, tx.init(enc_params), jnp.asarray(0, jnp.int32))
@@ -667,3 +715,69 @@ def run_vqvae(
                        {"params": state.params, "state": state.model_state})
     reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
     return state, history, d
+
+
+# ---------------------------------------------------------------------------
+# PixelCNN prior stage (completes SURVEY §2 row 12's GatedPixelCNN — the
+# reference ships the model but never trains it; here it gets a real stage)
+# ---------------------------------------------------------------------------
+
+
+def run_pixelcnn_prior(
+    ctx: StageContext,
+    indices,
+    labels,
+    num_embedding: int,
+    n_classes: int,
+    epochs: int = 10,
+    batch_size: int = 128,
+    dim: int = 64,
+    n_layers: int = 8,
+    lr: float = 3e-4,
+):
+    """Train the class-conditioned Gated PixelCNN prior over VQ-VAE codebook
+    indices (reference GatedPixelCNN, utils_vq_vae/util_model.py:391-448).
+
+    indices: [N, H, W] int codebook assignments (from
+    models.vqvae_gan_encode_indices / the `vqvae` variant's encode);
+    labels: [N] int class labels. Saves pixelcnn.msgpack + loss curve.
+    """
+    import optax
+
+    from gan_discovery_pso_tpu.models import (
+        PixelCNNDef,
+        pixelcnn_init,
+        pixelcnn_loss,
+    )
+
+    d = PixelCNNDef(input_dim=num_embedding, dim=dim, n_layers=n_layers,
+                    n_classes=n_classes)
+    params = pixelcnn_init(ctx.keys("pixelcnn"), d)
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, idx, lab):
+        loss, grads = jax.value_and_grad(pixelcnn_loss)(params, d, idx, lab)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    indices = jnp.asarray(indices, jnp.int32)
+    labels = jnp.asarray(labels, jnp.int32)
+    n = indices.shape[0]
+    history = {"train_loss": []}
+    mw = ctx.metrics("history_pixelcnn")
+    for epoch in range(epochs):
+        perm = np.asarray(jax.random.permutation(ctx.keys.peek(f"pix_ep_{epoch}"), n))
+        losses = []
+        for b in range(0, n - batch_size + 1, batch_size):
+            sel = perm[b : b + batch_size]
+            params, opt, loss = step(params, opt, indices[sel], labels[sel])
+            losses.append(float(loss))
+        tr = float(np.mean(losses)) if losses else float("nan")
+        history["train_loss"].append(tr)
+        mw.append(epoch, train_loss=tr)
+    ctx.ckpt.save_state_dict("pixelcnn", {"params": params, "def": d._asdict()})
+    reporting.plot_training_curves(history, ctx.run.reports_dir / "pixelcnn_training.png")
+    mw.close()
+    return params, d, history

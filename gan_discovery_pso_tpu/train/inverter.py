@@ -90,6 +90,43 @@ def make_pix_rec_step(gen_params, gen_state, adam: AdamConfig):
     return train_step, eval_step
 
 
+class PixRecStatefulState(NamedTuple):
+    enc_params: dict
+    enc_state: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_pix_rec_step_stateful(gen_params, gen_state, adam: AdamConfig, enc_apply):
+    """pix_rec for encoders WITH internal state (the AttGAN variant's
+    BatchNorm stack, reference util_inverter.py:142-162).
+
+    enc_apply(params, state, x, train) -> (z [N,z,1,1], new_state)."""
+    tx = make_optimizer(adam)
+
+    @jax.jit
+    def train_step(state: PixRecStatefulState, real):
+        def loss_fn(ep):
+            z, new_es = enc_apply(ep, state.enc_state, real, True)
+            rec = _decode(gen_params, gen_state, z)
+            return jnp.mean((real - rec) ** 2), new_es
+
+        (loss, new_es), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.enc_params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.enc_params)
+        new_params = optax.apply_updates(state.enc_params, updates)
+        return PixRecStatefulState(new_params, new_es, new_opt, state.step + 1), loss
+
+    @jax.jit
+    def eval_step(state: PixRecStatefulState, real):
+        z, _ = enc_apply(state.enc_params, state.enc_state, real, False)
+        rec = _decode(gen_params, gen_state, z)
+        return jnp.mean((real - rec) ** 2)
+
+    return train_step, eval_step
+
+
 # ---------------------------------------------------------------------------
 # pix_fea_rec_adv: E + D adversarial with R1
 # ---------------------------------------------------------------------------

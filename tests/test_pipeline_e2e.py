@@ -368,3 +368,53 @@ def test_pso_inverter_try_load_skips_finetune(roots, artifacts):
         np.asarray(fine_state.params["fc"]["w"]), np.asarray(reheaded["fc"]["w"])
     )
     assert np.isfinite(float(res.g_best_val))
+
+
+def test_inverter_attgan_variant(roots, artifacts):
+    """encoder_variant: attgan trains the stateful AttGAN encoder through
+    pix_rec (reference util_inverter.py:142-162) and saves the variant tag."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    ctx = _ctx(roots, "inverter_attgan",
+               extra={"model_inverter.encoder_variant": "attgan"})
+    enc_params, hist = run_inverter(
+        ctx, gan_state.gen_params, gan_state.gen_state, epochs=2
+    )
+    assert len(hist["train_loss"]) == 2
+    assert hist["train_loss"][1] <= hist["train_loss"][0] * 1.5  # not diverging
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree
+
+    saved = load_pytree(ctx.run.models_dir / "encoder.msgpack")
+    assert saved["variant"] == "attgan"
+
+    # non-pix_rec with attgan is rejected
+    import pytest as _pytest
+
+    ctx2 = _ctx(roots, "inverter_attgan_bad", extra={
+        "model_inverter.encoder_variant": "attgan",
+        "trainer_inverter.training_function": "pix_fea_rec_adv"})
+    with _pytest.raises(NotImplementedError):
+        run_inverter(ctx2, gan_state.gen_params, gan_state.gen_state, epochs=1)
+
+
+def test_pixelcnn_prior_stage(roots):
+    """Train the prior on synthetic codebook indices; loss must descend and
+    conditional sampling must produce valid indices."""
+    from gan_discovery_pso_tpu.pipelines import run_pixelcnn_prior
+    from gan_discovery_pso_tpu.models import pixelcnn_generate, PixelCNNDef
+
+    rng = np.random.RandomState(0)
+    # class-dependent index distributions over a 4x4 grid
+    labels = rng.randint(0, 2, 256)
+    indices = (rng.randint(0, 4, (256, 4, 4)) + 4 * labels[:, None, None])
+
+    ctx = _ctx(roots, "pixelcnn")
+    params, d, hist = run_pixelcnn_prior(
+        ctx, indices, labels, num_embedding=8, n_classes=2,
+        epochs=3, batch_size=64, dim=16, n_layers=3,
+    )
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert (ctx.run.models_dir / "pixelcnn.msgpack").exists()
+    samp = pixelcnn_generate(params, d, jax.random.key(0),
+                             jnp.array([0, 1]), shape=(4, 4))
+    assert samp.shape == (2, 4, 4)
+    assert int(samp.min()) >= 0 and int(samp.max()) < 8
