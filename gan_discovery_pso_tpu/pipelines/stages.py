@@ -41,7 +41,6 @@ from gan_discovery_pso_tpu.pipelines.context import StageContext
 from gan_discovery_pso_tpu.pso import (
     OPTIMIZE_IN,
     SwarmResult,
-    make_inverter_fitness,
     optimize,
     save_particle_histories,
     load_final_particle_positions,
@@ -603,12 +602,16 @@ def run_pso_inverter(
     init_positions = encode(slices)
     hp_n = PsoConfig(**{**hp.__dict__, "n_particles": n})
 
-    fitness = make_inverter_fitness(
-        gen_params, gen_state, fine_state.params, fine_state.model_state, bdef,
-        source_images=slices, class_idx=1, control=control,
+    # params-as-arguments runner: every patient of the sweep (each with its
+    # own fine-tuned assessor) reuses ONE compiled executable per shape
+    from gan_discovery_pso_tpu.pso import make_inverter_runner
+
+    run = make_inverter_runner(bdef, hp_n, control=control)
+    final, hist, init = run(
+        ctx.keys("pso"), gen_params, gen_state,
+        fine_state.params, fine_state.model_state,
+        jnp.asarray(1, jnp.int32), slices, init_positions,
     )
-    run = jax.jit(lambda k, p: optimize(k, fitness, hp_n, init_positions=p))
-    final, hist, init = run(ctx.keys("pso"), init_positions)
     jax.block_until_ready(final)
     res = SwarmResult(final, hist, init, hp_n)
     save_particle_histories(

@@ -28,3 +28,7 @@ from gan_discovery_pso_tpu.pso.io import (
     load_final_particle_positions,
     load_particle_trajectories,
 )
+from gan_discovery_pso_tpu.pso.runner import (
+    make_discovery_runner,
+    make_inverter_runner,
+)

@@ -222,3 +222,33 @@ def test_optimize_resumable_matches_single_shot(tmp_path):
     np.testing.assert_allclose(float(f1.g_best_val), float(f2.g_best_val), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(h1.g_best_val), np.asarray(h2.g_best_val), rtol=1e-6)
     assert (tmp_path / "checkpoint_swarm.msgpack").exists()
+
+
+def test_discovery_runner_reuses_compilation_across_models():
+    """make_discovery_runner takes params as jit arguments: two different
+    model weights run through ONE traced executable and match the
+    closure-based fitness results."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.pso import make_discovery_fitness, make_discovery_runner
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=3, n_particles=4, dim_space=8)
+    runner = make_discovery_runner(rdef, hp)
+
+    n_traces = 0
+    outs = []
+    for seed in (0, 1):  # two DIFFERENT models
+        gp, gs = generator_init(jax.random.key(seed), GeneratorDef(8, 1, 8))
+        rp, rs = resnet_init(jax.random.key(seed + 10), rdef, init="glorot_normal")
+        final, hist, init = runner(jax.random.key(5), gp, gs, rp, rs, jnp.asarray(2))
+        outs.append(final)
+        # reference value from the closure-based path
+        fit = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
+        ref_final, _, _ = optimize(jax.random.key(5), fit, hp)
+        np.testing.assert_allclose(float(final.g_best_val), float(ref_final.g_best_val),
+                                   rtol=1e-5)
+    # different weights -> different outcomes through the same executable
+    assert float(outs[0].g_best_val) != float(outs[1].g_best_val)
+    # single compilation: the jitted runner was traced exactly once
+    assert runner._cache_size() == 1
