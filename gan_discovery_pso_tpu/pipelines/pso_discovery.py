@@ -70,19 +70,21 @@ def run_pso_discovery(
     ctx.notify("pso_discovery_start", classes=list(classes), hp=repr(hp))
     results: dict = {}
     timings: dict = {}
-    # class index is a runtime arg: ONE compiled optimize serves every class
+    # params AND class index are runtime args: ONE compiled optimize serves
+    # every class of this sweep and every future model of the same shapes
+    from gan_discovery_pso_tpu.pso import make_discovery_runner
+
+    run = make_discovery_runner(cnn_def, hp, control=control, threshold=threshold)
     fitness_dyn = make_discovery_fitness_dynamic(
         gen_params, gen_state, cnn_params, cnn_state, cnn_def,
         control=control, threshold=threshold,
-    )
-    run = jax.jit(
-        lambda k, ci: optimize(k, lambda pos: fitness_dyn(pos, ci), hp)
-    )
+    )  # host-side landscape plots reuse this closure
     for label in classes:
         t0 = time.time()
         fitness = lambda pos, ci=c2i.get(label, 1): fitness_dyn(pos, ci)
         final, hist, init = run(
             ctx.keys.child(f"class_{label}")("pso"),
+            gen_params, gen_state, cnn_params, cnn_state,
             jnp.asarray(c2i.get(label, 1), jnp.int32),
         )
         jax.block_until_ready(final)
