@@ -131,6 +131,7 @@ def run_pso_discovery_batched(
     control: str = OPTIMIZE_OUT,
     threshold: float = 0.0,
     make_plots: bool = True,
+    fast_math_dtype=None,
 ) -> dict:
     """All class swarms in one vmapped optimize: G/assessor forwards batch
     [n_classes · n_particles] per iteration, amortizing small-op overhead
@@ -146,13 +147,19 @@ def run_pso_discovery_batched(
 
     fitness_dyn = make_discovery_fitness_dynamic(
         gen_params, gen_state, cnn_params, cnn_state, cnn_def,
-        control=control, threshold=threshold,
+        control=control, threshold=threshold, dtype=fast_math_dtype,
     )
 
     def one(ci, key):
         return optimize(key, lambda pos: fitness_dyn(pos, ci), hp)
 
-    run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+    if fast_math_dtype is not None:
+        from gan_discovery_pso_tpu.ops.precision import fast_math
+
+        with fast_math():
+            run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+    else:
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
     keys = jnp.stack([
         ctx.keys.child(f"class_{label}")("pso") for label in classes
     ])

@@ -139,18 +139,26 @@ def make_discovery_fitness_dynamic(
     control: str = OPTIMIZE_OUT,
     threshold: float = 0.0,
     eps: float = 0.1,
+    dtype=None,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Discovery fitness with the class index as a RUNTIME argument:
     fitness(positions [N,d], class_idx []) → [N]. One compiled optimize
     serves the whole per-class sweep (the reference's outer loop,
-    src/training/pso_discovery.py:174) instead of recompiling per class."""
+    src/training/pso_discovery.py:174) instead of recompiling per class.
+    dtype=jnp.bfloat16 = the fast-math path (see make_discovery_fitness)."""
+    if dtype is not None:
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        gen_params, gen_state = cast(gen_params), cast(gen_state)
+        cnn_params, cnn_state = cast(cnn_params), cast(cnn_state)
 
     def fitness(positions: jax.Array, class_idx) -> jax.Array:
         z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+        if dtype is not None:
+            z = z.astype(dtype)
         img = generator_forward(gen_params, gen_state, z)
-        img01 = rescale01_per_sample(img)
+        img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
         logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-        p = assessor_posterior(logits, class_idx)
+        p = assessor_posterior(logits.astype(jnp.float32), class_idx)
         return fitness_from_posterior(p, control, threshold, eps)
 
     return fitness

@@ -418,3 +418,28 @@ def test_pixelcnn_prior_stage(roots):
                              jnp.array([0, 1]), shape=(4, 4))
     assert samp.shape == (2, 4, 4)
     assert int(samp.min()) >= 0 and int(samp.max()) < 8
+
+
+def test_pso_discovery_batched_fast_math(roots, artifacts):
+    """bf16 fast-math batched discovery runs and lands near the fp32 result."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+    from gan_discovery_pso_tpu.pipelines import run_pso_discovery_batched
+
+    ctx = _ctx(roots, "pso_discovery_bf16")
+    res16 = run_pso_discovery_batched(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False, fast_math_dtype=jnp.bfloat16,
+    )
+    ctx2 = _ctx(roots, "pso_discovery_fp32_cmp")
+    res32 = run_pso_discovery_batched(
+        ctx2, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    for label in (0, 2):
+        assert np.isfinite(float(res16[label].g_best_val))
+        np.testing.assert_allclose(
+            float(res16[label].g_best_val), float(res32[label].g_best_val), atol=0.05
+        )
