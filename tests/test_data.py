@@ -104,3 +104,42 @@ def test_normalize01_falsy_bounds_fall_back():
     img = np.array([[2.0, 4.0]])
     out = normalize01(img, min_val=0, max_val=None)  # 0 is falsy -> data min
     np.testing.assert_allclose(out, [[0.0, 1.0]])
+
+
+def _write_idx_images(path, arr, gz=False):
+    import gzip, struct
+
+    header = struct.pack(">HBB", 0, 8, arr.ndim) + b"".join(
+        __import__("struct").pack(">I", d) for d in arr.shape
+    )
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(header + arr.astype(np.uint8).tobytes())
+
+
+def test_load_mnist_from_idx_files(tmp_path):
+    """The real-MNIST path: idx files (plain + gz) under MNIST/raw parse,
+    filter, and drange correctly (source == 'mnist-idx')."""
+    rng = np.random.RandomState(0)
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    imgs = rng.randint(0, 256, (60, 28, 28)).astype(np.uint8)
+    labs = rng.randint(0, 10, 60).astype(np.uint8)
+    _write_idx_images(raw / "train-images-idx3-ubyte", imgs)
+    _write_idx_images(raw / "train-labels-idx1-ubyte", labs)
+    # test split as gz
+    _write_idx_images(raw / "t10k-images-idx3-ubyte.gz", imgs[:20], gz=True)
+    _write_idx_images(raw / "t10k-labels-idx1-ubyte.gz", labs[:20], gz=True)
+
+    ds = load_mnist(tmp_path, "train", classes=(0, 2, 3), drange=(-1, 1))
+    assert ds.source == "mnist-idx"
+    mask = np.isin(labs, [0, 2, 3])
+    assert ds.images.shape[0] == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(ds.labels), labs[mask])
+    # pixel values faithfully mapped: uint8/255 * 2 - 1
+    want = imgs[mask][0].astype(np.float32) / 255.0 * 2 - 1
+    np.testing.assert_allclose(np.asarray(ds.images[0, 0]), want, atol=1e-6)
+
+    ds_gz = load_mnist(tmp_path, "test", drange=(0, 1))
+    assert ds_gz.source == "mnist-idx"
+    assert ds_gz.images.shape[0] == 20
