@@ -97,6 +97,11 @@ def main(argv=None):
         p.add_argument("--path-ood-pso", default=None, help="pso_inverter interim dir")
         if name == "pso-inverter":
             p.add_argument("--ood-patient", type=int, default=None)
+        if name == "pso-discovery":
+            p.add_argument("--batch-classes", action="store_true",
+                           help="advance all class swarms in one vmapped program")
+            p.add_argument("--shard-swarm", type=int, default=None, metavar="N",
+                           help="shard particles over an N-device mesh")
         if name == "sweep":
             p.add_argument("--latent-dims", type=int, nargs="*",
                            default=[2, 3, 4, 6, 8, 10, 20, 30, 100])
@@ -144,6 +149,34 @@ def _load_cnn(args, ctx):
                      len(iid), iid)
     params, state = load_cnn(args.path_cnn, rdef)
     return params, state, rdef
+
+
+def _run_sharded_discovery(ctx, n_devices, gp, gs, cp, cs, rdef):
+    """Particle-sharded per-class discovery over an n-device mesh (GSPMD
+    global-best all-reduce each iteration)."""
+    import jax
+    import numpy as np
+
+    from gan_discovery_pso_tpu.core.config import PsoConfig
+    from gan_discovery_pso_tpu.parallel import make_mesh, make_sharded_optimize
+    from gan_discovery_pso_tpu.pso import (SwarmResult, make_discovery_fitness,
+                                           save_particle_histories)
+
+    hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
+    mesh = make_mesh(n_devices, "swarm")
+    c2i = rdef.class_to_idx()
+    for label in ctx.data_cfg.iid_classes:
+        fitness = make_discovery_fitness(gp, gs, cp, cs, rdef,
+                                         class_idx=c2i.get(label, 1))
+        run = make_sharded_optimize(mesh, fitness, hp)
+        final, hist, init = run(ctx.keys.child(f"class_{label}")("pso"))
+        jax.block_until_ready(final)
+        res = SwarmResult(final, hist, init, hp)
+        save_particle_histories(ctx.run.interim_dir, label,
+                                res.particle_trajectories(),
+                                res.velocity_trajectories(), kind="iid")
+        print(f"[pso_discovery/sharded x{n_devices}] class {label}: "
+              f"g_best={float(res.g_best_val):.5f}")
 
 
 def dispatch(args):
@@ -203,7 +236,11 @@ def dispatch(args):
         elif stage == "pso-discovery":
             gp, gs = _load_gan(args)
             cp, cs, rdef = _load_cnn(args, ctx)
-            P.run_pso_discovery(ctx, gp, gs, cp, cs, rdef)
+            if getattr(args, "shard_swarm", None):
+                _run_sharded_discovery(ctx, args.shard_swarm, gp, gs, cp, cs, rdef)
+            else:
+                P.run_pso_discovery(ctx, gp, gs, cp, cs, rdef,
+                                    batch_classes=getattr(args, "batch_classes", False))
         elif stage == "inverter":
             gp, gs = _load_gan(args)
             cnn = None

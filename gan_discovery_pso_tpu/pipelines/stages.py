@@ -466,16 +466,34 @@ def run_inverter(
         )
         best, best_params = np.inf, state.enc_params
         for epoch in range(epochs):
+            tr_metrics = []
             for x, _y in ctx.batches(iid, bs)(epoch):
                 state, m = train_step(state, x, ctx.keys("inv_step"))
-            vi = [eval_step(state, x, ctx.keys("inv_eval"))
-                  for x, _ in ctx.batches(val_iid, bs)(epoch)]
-            pixfea = float(np.mean([float(m["loss_enc_rec_pix"] + m["loss_enc_rec_fea"])
-                                    for m in vi])) if vi else np.nan
-            history.setdefault("val_iid_pixfea", []).append(pixfea)
-            mw.append(epoch, val_iid_pixfea=pixfea)
-            if pixfea < best:  # best by val_iid pix+fea (reference :470-475)
-                best, best_params = pixfea, state.enc_params
+                tr_metrics.append(m)
+
+            def _phase(batches_fn):
+                ms = [eval_step(state, x, ctx.keys("inv_eval"))
+                      for x, _ in batches_fn(epoch)]
+                if not ms:
+                    return np.nan, np.nan
+                pixfea = float(np.mean([
+                    float(m["loss_enc_rec_pix"] + m["loss_enc_rec_fea"]) for m in ms
+                ]))
+                total = float(np.mean([float(m["loss_enc"]) for m in ms]))
+                return pixfea, total
+
+            # all three reference phases (util_inverter.py:349)
+            vi_pixfea, vi_total = _phase(ctx.batches(val_iid, bs))
+            vo_pixfea, vo_total = _phase(ctx.batches(val_ood, bs))
+            tr_loss = float(np.mean([float(m["loss_enc"]) for m in tr_metrics]))
+            for k, v in (("train_loss_enc", tr_loss),
+                         ("val_iid_pixfea", vi_pixfea), ("val_iid_loss_enc", vi_total),
+                         ("val_ood_pixfea", vo_pixfea), ("val_ood_loss_enc", vo_total)):
+                history.setdefault(k, []).append(v)
+            mw.append(epoch, train_loss_enc=tr_loss, val_iid_pixfea=vi_pixfea,
+                      val_ood_pixfea=vo_pixfea)
+            if vi_pixfea < best:  # best by val_iid pix+fea (reference :470-475)
+                best, best_params = vi_pixfea, state.enc_params
         enc_final = best_params
     else:
         raise ValueError(training_fun)

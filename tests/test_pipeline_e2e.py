@@ -443,3 +443,22 @@ def test_pso_discovery_batched_fast_math(roots, artifacts):
         np.testing.assert_allclose(
             float(res16[label].g_best_val), float(res32[label].g_best_val), atol=0.05
         )
+
+
+def test_inverter_pix_fea_rec_adv_pipeline(roots, artifacts):
+    """The adversarial inverter pipeline branch tracks all three reference
+    phases (train/val_iid/val_ood, util_inverter.py:349) and selects the
+    best encoder by val_iid pix+fea."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+
+    ctx = _ctx(roots, "inverter_adv", extra={
+        "trainer_inverter.training_function": "pix_fea_rec_adv"})
+    enc_params, hist = run_inverter(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn=(cnn_state.params, cnn_state.model_state, rdef), epochs=2,
+    )
+    for k in ("train_loss_enc", "val_iid_pixfea", "val_ood_pixfea"):
+        assert k in hist and len(hist[k]) == 2
+        assert all(np.isfinite(v) for v in hist[k]), k
+    assert (ctx.run.models_dir / "encoder.msgpack").exists()
