@@ -205,6 +205,9 @@ def pso_iteration_pallas(
         state.positions, state.velocities, state.p_best_pos, state.p_best_val,
         fitness_vals, r1, r2, state.g_best_pos, state.g_best_val,
         state.g_prev_val, w, hp.w_cognitive, hp.w_social,
+        # CPU has no Mosaic lowering; run the kernel interpreted there so the
+        # use_pallas API works uniformly (native on TPU)
+        interpret=jax.default_backend() == "cpu",
     )
     g_improvements = state.g_improvements + g_appended.astype(jnp.int32)
     tol_hit = jnp.abs(gbv - gpv) < hp.tolerance

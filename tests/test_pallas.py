@@ -58,3 +58,20 @@ def test_pallas_update_unpadded_sizes():
     )
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref.positions), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(out[5]), float(ref.g_best_val), rtol=1e-6)
+
+
+def test_optimize_use_pallas_matches_xla_path():
+    """optimize(use_pallas=True) falls back to interpret mode on CPU and
+    reproduces the XLA-path trajectory."""
+    from gan_discovery_pso_tpu.pso import optimize
+
+    hp = PsoConfig(n_iterations=10, n_particles=8, dim_space=4)
+    fit = make_analytic_fitness(analytic.sphere)
+    o1 = optimize(jax.random.key(0), fit, hp, use_pallas=True)
+    o2 = optimize(jax.random.key(0), fit, hp, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(o1[1].g_best_val), np.asarray(o2[1].g_best_val), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1[0].positions), np.asarray(o2[0].positions), rtol=1e-5, atol=1e-6
+    )
