@@ -142,10 +142,15 @@ class PsoConfig:
             w_cognitive=float(block["w_cognitive"]),
             w_social=float(block["w_social"]),
             schedule_inertia=bool(block.get("schedule_inertia", False)),
-            # dcgan_mnist.yaml calls it early_stopping; pso_inverter block
-            # calls it early_stopping_pso (configs/dcgan_mnist.yaml:83).
+            # dcgan_mnist.yaml calls it early_stopping; the pso_inverter block
+            # carries BOTH keys with different meanings: early_stopping=20 is
+            # the CNN fine-tune patience, early_stopping_pso is the swarm flag
+            # (reference src/training/pso_inverter.py:321). When the
+            # PSO-specific key exists it must win.
             early_stopping=bool(
-                block.get("early_stopping", block.get("early_stopping_pso", False))
+                block["early_stopping_pso"]
+                if "early_stopping_pso" in block
+                else block.get("early_stopping", False)
             ),
         )
 

@@ -13,6 +13,9 @@ Exactly TWO collectives per iteration, each a few hundred bytes — ICI
 latency-bound, trivially scalable. Trajectories are deterministic and match
 the single-device optimize bit-for-bit up to fp32 reassociation (the
 per-particle r1/r2 are derived from the global key and sliced per shard).
+The early-stop latch (hp.early_stopping + hp.tolerance) is implemented with
+the same done-mask as pso/swarm.py; all latch operands are replicated
+scalars, so every shard freezes on the same iteration.
 """
 
 from __future__ import annotations
@@ -52,7 +55,8 @@ def make_shardmap_optimize(
         rank = jax.lax.axis_index(axis)
 
         def step(carry, it):
-            pos, vel, pbp, pbv, gbp, gbv, w = carry
+            old = carry
+            pos, vel, pbp, pbv, gbp, gbv, gpv, gimp, w, done = carry
             k = jax.random.fold_in(iter_key, it)
             k1, k2 = jax.random.split(k)
             # global r streams sliced per shard → matches unsharded optimize
@@ -83,7 +87,13 @@ def make_shardmap_optimize(
             )
             best_pos = jax.lax.psum(contrib, axis)  # ICI all-reduce #2
 
+            # g_best list bookkeeping (matches pso/swarm.py pso_iteration):
+            # overwriting the initial inf keeps the list length; a real
+            # improvement appends and shifts the previous value.
             g_improved = best_val < gbv
+            first = jnp.isinf(gbv)
+            gpv = jnp.where(g_improved & ~first, gbv, gpv)
+            gimp = gimp + jnp.where(g_improved & ~first, 1, 0)
             gbv = jnp.where(g_improved, best_val, gbv)
             gbp = jnp.where(g_improved, best_pos, gbp)
 
@@ -95,11 +105,25 @@ def make_shardmap_optimize(
                 + hp.w_social * r2[:, None] * (pbp - pos)
             )
             pos = pos + vel
-            return (pos, vel, pbp, pbv, gbp, gbv, w), gbv
+
+            # early-stop latch (util_pso.py:186-188); all operands are
+            # replicated scalars so every shard latches identically
+            if hp.early_stopping:
+                stop = (it > 2) & (gimp > 2) & (jnp.abs(gbv - gpv) < hp.tolerance)
+            else:
+                stop = jnp.asarray(False)
+            new = (pos, vel, pbp, pbv, gbp, gbv, gpv, gimp, w, done | stop)
+            # freeze the carry once done (reference breaks out of the loop);
+            # the iteration that latches `done` still records, like optimize()
+            was_done = old[-1]
+            out = jax.tree.map(lambda n, o: jnp.where(was_done, o, n), new, old)
+            return out, out[5]
 
         init = (positions, velocities, p_best_pos, p_best_val, g_best_pos,
-                g_best_val, jnp.asarray(hp.w_inertia, jnp.float32))
-        (pos, vel, pbp, pbv, gbp, gbv, _w), trace = jax.lax.scan(
+                g_best_val, jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(hp.w_inertia, jnp.float32), jnp.asarray(False))
+        (pos, vel, pbp, pbv, gbp, gbv, _gpv, _gimp, _w, _done), trace = jax.lax.scan(
             step, init, jnp.arange(1, hp.n_iterations + 1)
         )
         return pos, vel, pbp, pbv, gbp, gbv, trace

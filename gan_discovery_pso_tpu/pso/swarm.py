@@ -306,38 +306,44 @@ def optimize_resumable(
     so a resumed run reproduces the single-shot trajectory exactly.
     Returns (final_state, history, init_state) like optimize().
     """
-    from gan_discovery_pso_tpu.core.checkpoint import restore_tree
+    from gan_discovery_pso_tpu.core.checkpoint import restore_into
 
     state = None
     if checkpointer is not None:
         saved = checkpointer.try_load(f"checkpoint_{tag}.msgpack")
         if saved is not None:
-            state = SwarmState(*[jnp.asarray(x) for x in restore_tree(saved["state"]).values()]) \
-                if isinstance(saved["state"], dict) else saved["state"]
+            plain = saved["state"]
+            if isinstance(plain, SwarmState):
+                state = plain
+            else:
+                # Typed restore: field-name keyed, never dict-order dependent.
+                template = _state_from_positions(
+                    jnp.zeros((1, 1), jnp.float32),
+                    jnp.zeros((1, 1), jnp.float32),
+                    hp.w_inertia,
+                )
+                state = restore_into(template, plain)
 
     run = jax.jit(
         lambda k, s: optimize(
             k, fitness_fn, hp, init_state=s, n_iterations=checkpoint_every
         )
     )
-    seed = jax.jit(
-        lambda k, p: optimize(
-            k, fitness_fn, hp, init_positions=p, n_iterations=0
-        )
-    )
 
     if state is None:
-        # materialize the initial state without running iterations
-        _, _, state = seed(key, init_positions) if init_positions is not None else (
-            jax.jit(lambda k: optimize(k, fitness_fn, hp, n_iterations=0))(key)
-        )
-        init_state = state
-    else:
-        init_state = state
+        # Materialize the initial state exactly as optimize() would: the init
+        # key is the first half of the top-level split (iter RNG uses the
+        # second half via fold_in on the state's iteration counter).
+        init_key, _ = jax.random.split(key)
+        if init_positions is not None:
+            state = swarm_init_from_positions(init_key, init_positions, hp.w_inertia)
+        else:
+            state = swarm_init(init_key, hp.n_particles, hp.dim_space, hp.w_inertia)
+    init_state = state
 
     hist_parts = []
     done_iters = int(state.iteration) - 1
-    while done_iters < hp.n_iterations:
+    while done_iters < hp.n_iterations and not bool(state.done):
         chunk = min(checkpoint_every, hp.n_iterations - done_iters)
         if chunk != checkpoint_every:
             state, hist = optimize(
@@ -349,8 +355,12 @@ def optimize_resumable(
         done_iters += chunk
         if checkpointer is not None:
             checkpointer.save_every_epoch(tag, done_iters, state._asdict())
-        if bool(state.done):
-            break
+
+    if not hist_parts:
+        # Resumed an already-finished run: return an empty (0-iteration)
+        # history instead of concatenating nothing.
+        _, history, _ = optimize(key, fitness_fn, hp, init_state=state, n_iterations=0)
+        return state, history, init_state
 
     history = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts)
     return state, history, init_state
@@ -358,9 +368,15 @@ def optimize_resumable(
 
 def last_iteration(history: PsoHistory) -> int:
     """The reference's returned `i`: n_iterations+1 on natural exit, else the
-    iteration whose tolerance check broke the loop (util_pso.py:174-189)."""
-    active = jnp.asarray(history.active)
-    return int(jnp.sum(active)) + 1
+    iteration whose tolerance check broke the loop (util_pso.py:174-189).
+
+    In the masked scan the iteration that latches `done` is itself recorded
+    active, so on early stop the active count IS the breaking iteration."""
+    import numpy as np
+
+    active = np.asarray(history.active)
+    n_act = int(active.sum())
+    return n_act if not bool(active.all()) else n_act + 1
 
 
 @dataclasses.dataclass

@@ -44,10 +44,15 @@ def test_pso_config_block():
     assert pso.w_inertia == pytest.approx(0.73)
     assert pso.w_cognitive == pytest.approx(1.496)
     assert not pso.early_stopping
-    # pso_inverter block uses early_stopping_pso naming
+    # pso_inverter block carries BOTH keys: early_stopping=20 is the CNN
+    # fine-tune patience, early_stopping_pso=False is the swarm flag
+    # (reference pso_inverter.py:321) — the PSO-specific key must win,
+    # else the stock config silently truncates trajectories
     psoi = PsoConfig.from_config(cfg.trainer_pso_inverter)
     assert psoi.n_particles == 256
     assert psoi.dim_space == 10
+    assert psoi.early_stopping is False
+    assert int(cfg.trainer_pso_inverter["early_stopping"]) == 20
 
 
 def test_keychain_deterministic_and_independent():

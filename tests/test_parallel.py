@@ -168,3 +168,32 @@ def test_shardmap_optimize_matches_single_device():
 
     with _pytest.raises(ValueError):
         make_shardmap_optimize(mesh, fit, PsoConfig(n_particles=30, dim_space=4))
+
+
+def test_shardmap_optimize_early_stop_matches_single_device():
+    """The shard_map swarm honors hp.early_stopping with the same done-latch
+    as single-device optimize: the g_best trace freezes on the same iteration
+    and the final best values agree."""
+    from gan_discovery_pso_tpu.parallel import make_shardmap_optimize
+    from gan_discovery_pso_tpu.pso import last_iteration
+
+    hp = PsoConfig(n_iterations=30, n_particles=32, dim_space=4,
+                   tolerance=1e-3, early_stopping=True)
+    fit = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(9)
+
+    ref_final, ref_hist, _ = jax.jit(lambda k: optimize(k, fit, hp))(key)
+    li = last_iteration(ref_hist)
+    assert li < hp.n_iterations + 1  # the reference path did early-stop
+
+    mesh = make_mesh(8, "swarm")
+    out = make_shardmap_optimize(mesh, fit, hp)(key)
+    trace = np.asarray(out["g_best_trace"])
+    # frozen tail: every entry past the stop iteration repeats the final best
+    np.testing.assert_array_equal(trace[li:], np.full_like(trace[li:], trace[li - 1]))
+    # the stop happened on the same iteration (trace still improving before)
+    ref_trace = np.asarray(ref_hist.g_best_val)
+    np.testing.assert_allclose(trace[:li], ref_trace[:li], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(out["g_best_val"]), float(ref_final.g_best_val), rtol=1e-4, atol=1e-6
+    )

@@ -204,6 +204,83 @@ def test_particle_history_io_roundtrip(tmp_path):
     assert len(hd["global_best_val"]) == 10
 
 
+def test_last_iteration_matches_reference_loop_on_early_stop():
+    """Golden: on an early-stop break the reference returns the BREAKING
+    iteration i, not i+1 (util_pso.py:174-193: `break` before `i += 1`).
+    Replay the reference while-loop on the NumPy swarm with optimize()'s
+    exact r1/r2 streams and compare the returned iteration."""
+    hp = PsoConfig(n_iterations=30, n_particles=16, dim_space=4,
+                   tolerance=1e-3, early_stopping=True)
+    fit_batch = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(4)
+    final, hist, _ = optimize(key, fit_batch, hp)
+    li = last_iteration(hist)
+
+    init_key, iter_key = jax.random.split(key)
+    state0 = swarm_init(init_key, hp.n_particles, hp.dim_space, hp.w_inertia)
+    ref = NumpySwarm(np.asarray(state0.positions), np.asarray(state0.velocities), hp)
+    fit = lambda p: float(np.sum(p * p))
+    i = 1
+    while i < hp.n_iterations + 1:
+        k = jax.random.fold_in(iter_key, i)
+        k1, k2 = jax.random.split(k)
+        r1 = np.asarray(jax.random.uniform(k1, (hp.n_particles,), jnp.float32))
+        r2 = np.asarray(jax.random.uniform(k2, (hp.n_particles,), jnp.float32))
+        ref.step(fit, r1, r2)
+        if (
+            i > 2 and len(ref.g_best_val) > 2
+            and abs(ref.g_best_val[-1] - ref.g_best_val[-2]) < hp.tolerance
+        ):
+            break
+        i += 1
+    assert i < hp.n_iterations + 1  # the replay did early-stop
+    assert li == i
+
+
+def test_optimize_resumable_kill_and_resume_bit_identical(tmp_path):
+    """Preemption drill (SURVEY.md §5.3): 'kill' the run after the first
+    checkpointed chunk, resume from disk, and require the tail trajectory to
+    be BIT-identical to the single-shot run."""
+    import dataclasses as _dc
+
+    from gan_discovery_pso_tpu.core.checkpoint import Checkpointer
+    from gan_discovery_pso_tpu.pso import optimize_resumable
+
+    hp = PsoConfig(n_iterations=12, n_particles=8, dim_space=3)
+    fit = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(13)
+    f1, h1, _ = optimize(key, fit, hp)
+
+    ck = Checkpointer(tmp_path)
+    # run only the first 5 iterations, checkpointing — then "die"
+    optimize_resumable(
+        key, fit, _dc.replace(hp, n_iterations=5), checkpointer=ck, checkpoint_every=5
+    )
+    # restart: picks up checkpoint_swarm.msgpack at iteration 6
+    f2, h2, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=5)
+    np.testing.assert_array_equal(np.asarray(f1.positions), np.asarray(f2.positions))
+    np.testing.assert_array_equal(np.asarray(f1.g_best_pos), np.asarray(f2.g_best_pos))
+    # resumed history covers iterations 6..12 == single-shot tail
+    np.testing.assert_array_equal(np.asarray(h1.g_best_val)[5:], np.asarray(h2.g_best_val))
+    np.testing.assert_array_equal(np.asarray(h1.positions)[5:], np.asarray(h2.positions))
+
+
+def test_optimize_resumable_finished_run_returns_empty_history(tmp_path):
+    """Resuming a checkpoint whose run already completed must return the
+    final state with an empty history, not raise."""
+    from gan_discovery_pso_tpu.core.checkpoint import Checkpointer
+    from gan_discovery_pso_tpu.pso import optimize_resumable
+
+    hp = PsoConfig(n_iterations=6, n_particles=8, dim_space=3)
+    fit = make_analytic_fitness(analytic.sphere)
+    key = jax.random.key(14)
+    ck = Checkpointer(tmp_path)
+    f1, _, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
+    f2, h2, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
+    np.testing.assert_array_equal(np.asarray(f1.positions), np.asarray(f2.positions))
+    assert np.asarray(h2.active).shape[0] == 0
+
+
 def test_optimize_resumable_matches_single_shot(tmp_path):
     """Chunked+checkpointed optimize reproduces the one-shot trajectory
     (preemption-safe restart, SURVEY.md §5.3)."""
