@@ -108,6 +108,43 @@ def plot_training_curves(history: dict, out_path, title="training"):
     return Path(out_path)
 
 
+def plot_gan_training(history: dict, out_dir):
+    """The reference's GAN training plots (util_report_gan.py:9-45), one
+    figure per axis so per-BATCH losses and per-EPOCH metrics never share an
+    x-axis: train_loss.png (loss_gen/loss_disc vs steps), fid.png, is.png,
+    rec_loss_syn.png (vs epochs)."""
+    out_dir = Path(out_dir)
+    paths = []
+    if history.get("loss_gen") and history.get("loss_disc"):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        ax.plot(history["loss_gen"], label="loss_gen", color="r")
+        ax.plot(history["loss_disc"], label="loss_disc", color="b")
+        ax.set_title("Training G and D loss")
+        ax.set_xlabel("Steps")
+        ax.set_ylabel("Losses")
+        ax.legend()
+        fig.savefig(out_dir / "train_loss.png", dpi=200, format="png")
+        plt.close(fig)
+        paths.append(out_dir / "train_loss.png")
+    for key, title, ylab in (
+        ("fid", "Frechet Inception Distance", "fid"),
+        ("is", "Inception Score", "is"),
+        ("rec_loss_syn", "Reconstruction Loss Synthetic Samples", "Loss"),
+    ):
+        series = [v for v in history.get(key, []) if v is not None]
+        if series:
+            fig, ax = plt.subplots(figsize=(8, 6))
+            ax.plot(series, label=key, color="r")
+            ax.set_title(title)
+            ax.set_xlabel("epochs")
+            ax.set_ylabel(ylab)
+            ax.legend()
+            fig.savefig(out_dir / f"{key}.png", dpi=200, format="png")
+            plt.close(fig)
+            paths.append(out_dir / f"{key}.png")
+    return paths
+
+
 def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):
     """Superimage grid writer (reference util_report_gan.py:50-87 /
     util_data.save_dataset_images). images: [N, C, H, W]."""
@@ -125,6 +162,40 @@ def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):
     ax.axis("off")
     fig.savefig(out_path, dpi=150, bbox_inches="tight", format="png")
     plt.close(fig)
+    return Path(out_path)
+
+
+def grid_canvas(images, ncols: int = 8, drange=(0, 1), padding: int = 2):
+    """torchvision.utils.make_grid-equivalent canvas: [N, C, H, W] →
+    [C, H', W'] float in [0, 1], black padding between cells."""
+    imgs = np.asarray(images, np.float32)
+    lo, hi = drange
+    imgs = np.clip((imgs - lo) / (hi - lo), 0.0, 1.0)
+    n, c, h, w = imgs.shape
+    ncols = min(ncols, n)
+    nrows = -(-n // ncols)
+    canvas = np.zeros(
+        (c, nrows * (h + padding) + padding, ncols * (w + padding) + padding),
+        np.float32,
+    )
+    for i in range(n):
+        r, cc = divmod(i, ncols)
+        y = r * (h + padding) + padding
+        x = cc * (w + padding) + padding
+        canvas[:, y : y + h, x : x + w] = imgs[i]
+    return canvas
+
+
+def save_image_grid(images, out_path, ncols: int = 8, drange=(0, 1), padding: int = 2):
+    """Fast grid PNG writer (PIL, no matplotlib) for artifacts emitted once
+    PER ITERATION — the reference's `pso_images_{i}.png` grids
+    (src/pso/util_pso.py:127-133). images: [N, C, H, W]."""
+    from PIL import Image
+
+    canvas = grid_canvas(images, ncols=ncols, drange=drange, padding=padding)
+    arr = (canvas * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    img = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+    img.save(out_path, format="PNG")
     return Path(out_path)
 
 
@@ -259,22 +330,23 @@ class CvEvaluator:
         return Path(out_path)
 
 
-def error_reject_curve(y_true, y_score, out_path=None):
-    """Error vs reject-rate curve for the classifier battery (reference
-    src/training/classifiers.py:188-213): sort by confidence, progressively
-    reject the least confident, plot residual error."""
-    y_true, y_score = np.asarray(y_true), np.asarray(y_score)
-    conf = np.abs(y_score - 0.5)
-    order = np.argsort(conf)  # least confident first
-    errors = ((y_score >= 0.5).astype(int) != y_true)[order]
-    n = len(y_true)
-    reject_rates = np.arange(n) / n
-    residual_err = np.array([errors[k:].mean() if k < n else 0.0 for k in range(n)])
+def error_reject_curve(y_true, y_score, out_path=None, label=None):
+    """Error vs rejection curve for one one-vs-all battery classifier —
+    the reference's reliability-threshold sweep and plot (reference
+    src/training/classifiers.py:186-213): 90 thresholds over
+    reliability = |1 − p/0.5|, '%error' vs '%rejection', marker 'o',
+    title = class label, ylim [0, 30]."""
+    from gan_discovery_pso_tpu.evaluation.classifiers import error_reject_points
+
+    p_rej, p_err, _ = error_reject_points(y_true, y_score)
     if out_path is not None:
         fig, ax = plt.subplots()
-        ax.plot(reject_rates, residual_err)
-        ax.set_xlabel("reject rate")
-        ax.set_ylabel("error on accepted")
+        ax.plot(p_rej, p_err, marker="o")
+        if label is not None:
+            ax.set_title(str(label))
+        ax.set_ylabel("% error")
+        ax.set_xlabel("% rejection")
+        ax.set_ylim([0, 30])
         fig.savefig(out_path, dpi=200, format="png")
         plt.close(fig)
-    return reject_rates, residual_err
+    return p_rej, p_err

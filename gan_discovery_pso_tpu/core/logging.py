@@ -108,6 +108,14 @@ class MetricsWriter:
                 if k != "step":
                     self._tb.add_scalar(k, v, global_step=row["step"])
 
+    def add_image(self, tag: str, image, step: int) -> None:
+        """Log one image to the TensorBoard sink (reference logs real/fake
+        grids at src/utils/util_dcgan.py:285-297 and the per-iteration swarm
+        grid at src/pso/util_pso.py:131-133). `image`: [C, H, W] float in
+        [0, 1]. No-op when TB is disabled/unavailable."""
+        if self._tb is not None:
+            self._tb.add_image(tag, np.asarray(image), global_step=int(step))
+
     def history(self) -> dict[str, list]:
         keys = sorted({k for r in self._rows for k in r})
         return {k: [r.get(k) for r in self._rows] for k in keys}

@@ -1,12 +1,14 @@
 """The KNN classifier battery — the framework's "Inception" posterior.
 
-The reference fits one sklearn KNeighborsClassifier(n_neighbors=3) per IiD
-class on CAE embeddings (train = first 80% of rows,
-reference src/evaluation/util_classifiers.py:16-33) and queries it
-predict_proba PER IMAGE PER CLASS (:35-55). KNN has no fit step — the
-"battery" is just (embeddings, labels, class list) — so here it is a small
-pytree and the posterior for ALL images × ALL classes is one device program
-(ops/knn.py). Parity vs sklearn is golden-tested.
+The reference fits one sklearn KNeighborsClassifier(n_neighbors=5) per IiD
+class on CAE embeddings (train = first 80% of rows; the battery every eval
+epoch consumes is trained at reference src/training/classifiers.py:184 —
+the k=3 in src/evaluation/util_classifiers.py:30 is dead code, never
+called) and queries it predict_proba PER IMAGE PER CLASS
+(util_classifiers.py:35-55). KNN has no fit step — the "battery" is just
+(embeddings, labels, class list) — so here it is a small pytree and the
+posterior for ALL images × ALL classes is one device program (ops/knn.py).
+Parity vs sklearn is golden-tested at k=5.
 """
 
 from __future__ import annotations
@@ -25,14 +27,15 @@ class KnnBattery(NamedTuple):
     train_x: jax.Array  # [M, D] embeddings
     train_labels: jax.Array  # [M] int labels
     classes: jax.Array  # [C] the battery's class list (sorted unique)
-    k: int = 3
+    k: int = 5
 
 
 def train_classifier_battery(
-    encoded_train: np.ndarray, labels: np.ndarray, k: int = 3, val_fraction: float = 0.2
+    encoded_train: np.ndarray, labels: np.ndarray, k: int = 5, val_fraction: float = 0.2
 ) -> KnnBattery:
     """Build the battery with the reference's 80/20 head/tail split
-    (util_classifiers.py:19-28: fit on rows[:-val_size])."""
+    (src/training/classifiers.py:174-184: fit on rows[:-val_size],
+    n_neighbors=5)."""
     n = len(encoded_train)
     val_size = int(n * val_fraction)
     cut = n - val_size if val_size > 0 else n
@@ -60,6 +63,48 @@ def assign_labels(battery: KnnBattery, encoding: jax.Array):
     (util_classifiers.py:45-53; softmax then argmax ≡ argmax)."""
     p_yx = compute_posterior(battery, encoding)
     return p_yx, jnp.take(battery.classes, jnp.argmax(p_yx, axis=1))
+
+
+def error_reject_points(
+    y_valid: np.ndarray,
+    proba: np.ndarray,
+    thresholds: np.ndarray | None = None,
+    t_bin: float = 0.5,
+):
+    """The reference's reliability-threshold error/reject sweep
+    (src/training/classifiers.py:186-213), for ONE one-vs-all classifier.
+
+    y_valid: [V] binary ground truth (label == class).
+    proba:   [V] P(y=1 | x) from that classifier.
+
+    reliability = |1 − proba / t_bin|; for each of the 90 thresholds the
+    mask keeps reliable predictions, %rejected = |kept − V| / V · 100, and
+    %error = (1 − accuracy on the kept subset) · 100. Returns
+    (p_rej[%], p_error[%], thresholds). Empty kept subsets (possible when
+    every prediction is unreliable) record 0 error, where sklearn's
+    accuracy_score would raise — the reference never hits that case because
+    KNN probabilities at p∈{0,1} are always maximally reliable.
+    """
+    y_valid = np.asarray(y_valid).astype(int)
+    proba = np.asarray(proba, np.float64)
+    if thresholds is None:
+        thresholds = np.linspace(0.0, 0.9, num=90)
+    # KNeighborsClassifier.predict: majority vote == proba > 0.5 (at an even-k
+    # tie sklearn's argmax breaks toward class 0, which > also produces).
+    pred_bin = (proba > t_bin).astype(int)
+    reliability = np.abs(1.0 - proba / t_bin)
+    v = len(y_valid)
+    p_rej, p_err = [], []
+    for ths in thresholds:
+        mask = reliability > ths
+        kept = int(mask.sum())
+        p_rej.append(abs(kept - v) / v * 100.0)
+        if kept == 0:
+            p_err.append(0.0)
+        else:
+            acc = float((y_valid[mask] == pred_bin[mask]).mean())
+            p_err.append((1.0 - acc) * 100.0)
+    return np.asarray(p_rej), np.asarray(p_err), np.asarray(thresholds)
 
 
 def save_battery(path, battery: KnnBattery):

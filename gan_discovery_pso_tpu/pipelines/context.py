@@ -99,8 +99,8 @@ class StageContext:
 
         return make
 
-    def metrics(self, name: str = "history") -> MetricsWriter:
-        return MetricsWriter(self.run.reports_dir, name)
+    def metrics(self, name: str = "history", tensorboard: bool = False) -> MetricsWriter:
+        return MetricsWriter(self.run.reports_dir, name, tensorboard=tensorboard)
 
     def tee(self) -> Tee:
         return Tee(self.run.reports_dir / "log.txt")

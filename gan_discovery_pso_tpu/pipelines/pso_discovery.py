@@ -47,6 +47,9 @@ def run_pso_discovery(
     threshold: float = 0.0,
     make_plots: bool = True,
     batch_classes: bool = False,
+    image_grids: bool = True,
+    tensorboard: bool = False,
+    shard_devices: int | None = None,
 ) -> dict:
     """Returns {class_label: SwarmResult}. Models are passed in (the CLI
     layer resolves them from prerequisite run dirs).
@@ -55,12 +58,20 @@ def run_pso_discovery(
     vmapped device program (every iteration batches n_classes × n_particles
     fitness forwards) — the TPU-native replacement for the reference's
     sequential per-class host loop (src/training/pso_discovery.py:174);
-    see run_pso_discovery_batched."""
+    see run_pso_discovery_batched.
+
+    shard_devices=N shards the particle axis over an N-device mesh (GSPMD
+    global-best all-reduce per iteration, parallel/swarm_sharding.py) while
+    emitting the SAME artifact contract as the default path — timing.json,
+    pickles, convergence/landscape plots, image grids."""
+    if batch_classes and shard_devices:
+        raise ValueError("batch_classes and shard_devices are mutually exclusive")
     if batch_classes:
         return run_pso_discovery_batched(
             ctx, gen_params, gen_state, cnn_params, cnn_state, cnn_def,
             classes=classes, control=control, threshold=threshold,
-            make_plots=make_plots,
+            make_plots=make_plots, image_grids=image_grids,
+            tensorboard=tensorboard,
         )
     hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
     if classes is None:
@@ -79,14 +90,32 @@ def run_pso_discovery(
         gen_params, gen_state, cnn_params, cnn_state, cnn_def,
         control=control, threshold=threshold,
     )  # host-side landscape plots reuse this closure
+    tb_writer = (
+        ctx.metrics("img_pso", tensorboard=True) if tensorboard else None
+    )
+    mesh = None
+    if shard_devices:
+        from gan_discovery_pso_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shard_devices, "swarm")
     for label in classes:
         t0 = time.time()
         fitness = lambda pos, ci=c2i.get(label, 1): fitness_dyn(pos, ci)
-        final, hist, init = run(
-            ctx.keys.child(f"class_{label}")("pso"),
-            gen_params, gen_state, cnn_params, cnn_state,
-            jnp.asarray(c2i.get(label, 1), jnp.int32),
-        )
+        key = ctx.keys.child(f"class_{label}")("pso")
+        if mesh is not None:
+            from gan_discovery_pso_tpu.parallel import make_sharded_optimize
+            from gan_discovery_pso_tpu.pso import make_discovery_fitness
+
+            fitness_cls = make_discovery_fitness(
+                gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+                class_idx=c2i.get(label, 1), control=control, threshold=threshold,
+            )
+            final, hist, init = make_sharded_optimize(mesh, fitness_cls, hp)(key)
+        else:
+            final, hist, init = run(
+                key, gen_params, gen_state, cnn_params, cnn_state,
+                jnp.asarray(c2i.get(label, 1), jnp.int32),
+            )
         jax.block_until_ready(final)
         res = SwarmResult(final, hist, init, hp)
         results[label] = res
@@ -110,12 +139,18 @@ def run_pso_discovery(
             )
             if hp.dim_space == 2:
                 _landscape_gif(ctx, fitness, res, label)
+        if image_grids:
+            render_swarm_grids(
+                ctx, gen_params, gen_state, res, label, writer=tb_writer
+            )
         print(
             f"[pso_discovery] class {label}: g_best={float(res.g_best_val):.5f} "
             f"iters={res.last_iteration} in {timings[f'training_time_class_{label}']:.1f}s"
         )
 
     ctx.run.write_timing(timings)
+    if tb_writer is not None:
+        tb_writer.close()
     ctx.notify("pso_discovery_done")
     return results
 
@@ -132,6 +167,8 @@ def run_pso_discovery_batched(
     threshold: float = 0.0,
     make_plots: bool = True,
     fast_math_dtype=None,
+    image_grids: bool = True,
+    tensorboard: bool = False,
 ) -> dict:
     """All class swarms in one vmapped optimize: G/assessor forwards batch
     [n_classes · n_particles] per iteration, amortizing small-op overhead
@@ -148,6 +185,10 @@ def run_pso_discovery_batched(
     fitness_dyn = make_discovery_fitness_dynamic(
         gen_params, gen_state, cnn_params, cnn_state, cnn_def,
         control=control, threshold=threshold, dtype=fast_math_dtype,
+    )
+
+    tb_writer = (
+        ctx.metrics("img_pso", tensorboard=True) if tensorboard else None
     )
 
     def one(ci, key):
@@ -188,13 +229,70 @@ def run_pso_discovery_batched(
                 ctx.run.reports_dir / f"convergence_class_{label}.png",
                 title=f"class {label}",
             )
+        if image_grids:
+            render_swarm_grids(
+                ctx, gen_params, gen_state, res, label, writer=tb_writer
+            )
         print(
             f"[pso_discovery/batched] class {label}: "
             f"g_best={float(res.g_best_val):.5f} iters={res.last_iteration}"
         )
+    if tb_writer is not None:
+        tb_writer.close()
     ctx.run.write_timing({"training_time_all_classes": wall})
     print(f"[pso_discovery/batched] {len(classes)} swarms in {wall:.2f}s wall")
     return results
+
+
+def render_swarm_grids(
+    ctx: StageContext,
+    gen_params,
+    gen_state,
+    res: SwarmResult,
+    label,
+    writer=None,
+    ncols: int = 8,
+):
+    """Per-iteration generated-image grids, rendered POST-HOC.
+
+    The reference renders every particle's generated image inside
+    update_personal_best each iteration → `training_plot/{label}/
+    pso_images_{i}.png` + a TB image (reference src/pso/util_pso.py:114-133,
+    src/training/pso_discovery.py:166-179). Rendering inside the fused
+    lax.scan would break the single-device-program design, so the same
+    images are re-generated here from the recorded trajectories: the
+    positions fitness was evaluated at on iteration i are the PRE-move
+    positions, i.e. trajectory row i-1 — ONE batched G forward covers every
+    recorded iteration."""
+    from gan_discovery_pso_tpu.models.dcgan import generator_forward
+
+    out_dir = ctx.run.reports_dir / "training_plot" / str(label)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    traj = res.particle_trajectories()  # [n_act+1, N, d]
+    pre_move = traj[:-1]  # eval positions of iterations 1..n_act
+    n_it, n_p, d = pre_move.shape
+    if n_it == 0:
+        return []
+    z = jnp.asarray(pre_move.reshape(n_it * n_p, d, 1, 1), jnp.float32)
+    imgs = np.asarray(jax.jit(generator_forward)(gen_params, gen_state, z))
+    imgs = imgs.reshape(n_it, n_p, *imgs.shape[1:])
+    paths = []
+    for i in range(n_it):
+        # G output is tanh → drange (-1, 1), like the reference's particles
+        paths.append(
+            reporting.save_image_grid(
+                imgs[i], out_dir / f"pso_images_{i + 1}.png",
+                ncols=ncols, drange=(-1, 1),
+            )
+        )
+        if writer is not None:
+            # reference tags the grid "Real" (util_pso.py:133)
+            writer.add_image(
+                "Real",
+                reporting.grid_canvas(imgs[i], ncols=ncols, drange=(-1, 1)),
+                step=i + 1,
+            )
+    return paths
 
 
 def _landscape_gif(ctx: StageContext, fitness, res: SwarmResult, label):

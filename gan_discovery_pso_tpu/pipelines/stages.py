@@ -117,24 +117,37 @@ def load_cae(model_dir: str | Path):
 
 
 def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
+    """Battery training + per-class error-reject curves (reference
+    src/training/classifiers.py:165-216): one KNeighborsClassifier(k=5) per
+    IiD class fit on the first 80% of the TRAIN embeddings, the reliability
+    sweep evaluated on the held-out tail 20% of the same embeddings."""
     if cae_state is None:
         cae_state = load_cae(cae_model_dir)
     ds = ctx.dataset("train", drange=(0, 1))
     emb = encode_dataset(cae_state, ds.images)
-    battery = train_classifier_battery(emb, np.asarray(ds.labels), k=3)
+    labels = np.asarray(ds.labels)
+    block = ctx.cfg.get("model_classifiers") or {}
+    k = int(block.get("n_neighbors", 5) or 5)  # reference classifiers.py:184
+    val_fraction = float(block.get("val_fraction", 0.2) or 0.2)
+    battery = train_classifier_battery(emb, labels, k=k, val_fraction=val_fraction)
     save_battery(ctx.run.models_dir / "classifiers.msgpack", battery)
 
-    # error-reject curve on the val split for one representative class
-    val = ctx.dataset("test", drange=(0, 1))
-    vemb = encode_dataset(cae_state, val.images)
-    from gan_discovery_pso_tpu.evaluation import compute_posterior
+    # per-class error-reject curves on the train-tail validation split
+    # (reference classifiers.py:167,178-213: x_valid = h_tr rows[-val_size:])
+    val_size = int(len(emb) * val_fraction)
+    if val_size > 0:
+        from gan_discovery_pso_tpu.evaluation import compute_posterior
 
-    p_yx = np.asarray(compute_posterior(battery, jnp.asarray(vemb)))
-    classes = np.asarray(battery.classes)
-    y_true = (np.asarray(val.labels) == classes[0]).astype(int)
-    reporting.error_reject_curve(
-        y_true, p_yx[:, 0], ctx.run.reports_dir / "error_reject.png"
-    )
+        x_valid = emb[-val_size:]
+        y_valid = labels[-val_size:]
+        p_yx = np.asarray(compute_posterior(battery, jnp.asarray(x_valid)))
+        for ci, label in enumerate(np.asarray(battery.classes)):
+            y_true = (y_valid == label).astype(int)
+            reporting.error_reject_curve(
+                y_true, p_yx[:, ci],
+                ctx.run.reports_dir / f"error_reject_curve_{label}.png",
+                label=int(label),
+            )
     return battery
 
 
@@ -150,6 +163,7 @@ def run_dcgan(
     epochs: int | None = None,
     n_synthetic: int | None = None,
     resume: bool = False,
+    tensorboard: bool = False,
 ):
     cfg = ctx.cfg
     gdef = GeneratorDef(
@@ -196,7 +210,7 @@ def run_dcgan(
                             history[k].append(row[k])
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
-    mw = ctx.metrics("history_gan")
+    mw = ctx.metrics("history_gan", tensorboard=tensorboard)
     best_is, best_epoch, best_state = 0.0, offset, state
     fixed_noise_key = ctx.keys("fixed_noise")
 
@@ -226,11 +240,22 @@ def run_dcgan(
                   inception_score=is_score, rec_loss_syn=rec)
         print(f"[dcgan] epoch {epoch + offset}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
 
-        # plots + fixed-noise superimage (reference :272-297)
-        reporting.plot_training_curves(history, ctx.run.reports_dir / "gan_training.png")
+        # plots + fixed-noise superimage (reference :272-297); per-batch
+        # losses and per-epoch metrics get separate figures/x-axes
+        # (util_report_gan.py:9-45)
+        reporting.plot_gan_training(history, ctx.run.reports_dir)
         imgs = sampler(state.gen_params, state.gen_state, fixed_noise_key, 32)
         reporting.image_grid(
             np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{epoch + offset}.png"
+        )
+        # real/fake grids to TensorBoard (reference util_dcgan.py:285-297)
+        mw.add_image(
+            "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(-1, 1)),
+            step=epoch + offset,
+        )
+        mw.add_image(
+            "Real", reporting.grid_canvas(np.asarray(x)[:32], drange=(-1, 1)),
+            step=epoch + offset,
         )
         reporting.plot_posterior_polarization(
             np.asarray(res.p_yx), list(np.asarray(battery.classes)),

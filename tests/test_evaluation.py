@@ -2,6 +2,7 @@
 reimplementation, battery posterior vs sklearn, denoise recon smoke."""
 
 import numpy as np
+import pytest
 import scipy.linalg
 from sklearn.neighbors import KNeighborsClassifier
 
@@ -61,19 +62,20 @@ def test_inception_score_matches_numpy():
     np.testing.assert_allclose(float(inception_score(jnp.array(u))), 1.0, rtol=1e-5)
 
 
-def test_battery_matches_sklearn_with_8020_split(tmp_path):
+@pytest.mark.parametrize("k", [3, 5])
+def test_battery_matches_sklearn_with_8020_split(tmp_path, k):
     rng = np.random.RandomState(3)
     emb = rng.randn(200, 6).astype(np.float32)
     labels = rng.choice([0, 2, 3, 7], size=200).astype(np.int32)
 
-    battery = train_classifier_battery(emb, labels, k=3)
+    battery = train_classifier_battery(emb, labels, k=k)
     queries = rng.randn(31, 6).astype(np.float32)
     got = np.asarray(compute_posterior(battery, jnp.array(queries)))
 
     val_size = int(200 * 0.2)
     xt, yt = emb[:-val_size], labels[:-val_size]
     for ci, c in enumerate([0, 2, 3, 7]):
-        clf = KNeighborsClassifier(n_neighbors=3).fit(xt, (yt == c).astype(np.uint8))
+        clf = KNeighborsClassifier(n_neighbors=k).fit(xt, (yt == c).astype(np.uint8))
         want = clf.predict_proba(queries)[:, 1]
         np.testing.assert_allclose(got[:, ci], want, atol=1e-6)
 
@@ -82,6 +84,46 @@ def test_battery_matches_sklearn_with_8020_split(tmp_path):
     b2 = load_battery(tmp_path / "classifiers.msgpack")
     got2 = np.asarray(compute_posterior(b2, jnp.array(queries)))
     np.testing.assert_array_equal(got, got2)
+
+
+def test_battery_default_k_is_5():
+    # the battery eval consumes is n_neighbors=5
+    # (reference src/training/classifiers.py:184; util_classifiers.py:30's
+    # k=3 is dead code)
+    rng = np.random.RandomState(11)
+    emb = rng.randn(50, 4).astype(np.float32)
+    labels = rng.choice([0, 2], size=50).astype(np.int32)
+    assert train_classifier_battery(emb, labels).k == 5
+
+
+def test_error_reject_points_matches_reference_sweep():
+    """Golden replay of src/training/classifiers.py:186-213 with sklearn."""
+    from sklearn.metrics import accuracy_score
+
+    from gan_discovery_pso_tpu.evaluation.classifiers import error_reject_points
+
+    rng = np.random.RandomState(12)
+    emb = rng.randn(150, 5).astype(np.float64)
+    labels = rng.choice([0, 3, 7], size=150)
+    val_size = int(150 * 0.2)
+    x_train, x_valid = emb[:-val_size], emb[-val_size:]
+
+    for c in (0, 3, 7):
+        y = (labels == c).astype("uint8")
+        y_train, y_valid = y[:-val_size], y[-val_size:]
+        clf = KNeighborsClassifier(n_neighbors=5).fit(x_train, y_train)
+        pred_bin = clf.predict(x_valid)
+        pred = clf.predict_proba(x_valid)[:, 1]
+        reliability = np.abs(1 - (pred / 0.5))
+        want_rej, want_err = [], []
+        for ths in np.linspace(0.0, 0.9, num=90):
+            mask = reliability > ths
+            want_rej.append((np.abs(np.sum(mask) - val_size) / val_size) * 100)
+            want_err.append((1 - accuracy_score(y_valid[mask], pred_bin[mask])) * 100)
+
+        got_rej, got_err, _ = error_reject_points(y_valid, pred)
+        np.testing.assert_allclose(got_rej, want_rej, atol=1e-9)
+        np.testing.assert_allclose(got_err, want_err, atol=1e-9)
 
 
 def test_energy_variance_stats():

@@ -123,7 +123,11 @@ def test_cae_stage_artifacts(artifacts):
 def test_classifier_stage_artifacts(artifacts):
     ctx, battery = artifacts["classifiers"]
     assert (ctx.run.models_dir / "classifiers.msgpack").exists()
-    assert (ctx.run.reports_dir / "error_reject.png").exists()
+    # the battery eval consumes is k=5 (reference training/classifiers.py:184)
+    assert battery.k == 5
+    # one reliability error-reject curve PER battery class (:186-213)
+    for label in np.asarray(battery.classes):
+        assert (ctx.run.reports_dir / f"error_reject_curve_{label}.png").exists()
     assert set(np.asarray(battery.classes)).issubset({0, 2, 3, 4, 6, 7, 8, 9})
 
 
@@ -133,7 +137,11 @@ def test_dcgan_stage_artifacts(artifacts):
     assert (ctx.run.models_dir / "best_g.msgpack").exists()
     assert len(hist["fid"]) == 1 and np.isfinite(hist["fid"][0])
     assert len(hist["is"]) == 1
-    assert (ctx.run.reports_dir / "gan_training.png").exists()
+    # per-batch losses and per-epoch metrics on separate axes
+    # (reference util_report_gan.py:9-45)
+    assert (ctx.run.reports_dir / "train_loss.png").exists()
+    assert (ctx.run.reports_dir / "fid.png").exists()
+    assert (ctx.run.reports_dir / "is.png").exists()
     assert (ctx.run.reports_dir / "synthetic_epoch_0.png").exists()
     # reload roundtrip
     from gan_discovery_pso_tpu.pipelines import load_gan
@@ -167,6 +175,13 @@ def test_pso_discovery_stage_artifacts(artifacts):
         res = results[label]
         assert np.isfinite(float(res.g_best_val))
         assert res.particle_trajectories().shape == (5, 8, 8)  # 4 iters + init
+        # per-iteration generated-image grids, rendered post-hoc
+        # (reference util_pso.py:127-133, pso_discovery.py:166-179)
+        for it in range(1, 5):
+            assert (
+                ctx.run.reports_dir / "training_plot" / str(label)
+                / f"pso_images_{it}.png"
+            ).exists()
     assert (ctx.run.reports_dir / "timing.json").exists()
 
 
