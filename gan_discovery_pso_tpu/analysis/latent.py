@@ -26,20 +26,35 @@ def pca_project(data: np.ndarray, n_components: int = 2, return_model: bool = Fa
     return (out, model) if return_model else out
 
 
-def umap_project(data: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
-                 min_dist: float = 0.1, random_state: int = 42):
-    """UMAP if umap-learn is installed; otherwise a labelled PCA fallback
-    (the projection consumers only need SOME 2-D embedding to plot)."""
+def make_umap(n_components: int = 2, n_neighbors: int = 15,
+              min_dist: float = 0.1, random_state: int = 42):
+    """A UMAP reducer with fit_transform/transform: umap-learn when
+    installed, otherwise this package's from-scratch implementation
+    (analysis/umap_impl.py — the published algorithm with a JAX layout
+    loop; umap-learn is not installable in this environment)."""
     try:
         import umap  # type: ignore
 
-        reducer = umap.UMAP(
+        return umap.UMAP(
             n_components=n_components, n_neighbors=n_neighbors,
             min_dist=min_dist, random_state=random_state,
-        )
-        return reducer.fit_transform(np.asarray(data)), "umap"
+        ), "umap"
     except ImportError:
-        return pca_project(data, n_components), "pca-fallback"
+        from gan_discovery_pso_tpu.analysis.umap_impl import UMAP
+
+        return UMAP(
+            n_components=n_components, n_neighbors=n_neighbors,
+            min_dist=min_dist, random_state=random_state,
+        ), "umap"
+
+
+def umap_project(data: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
+                 min_dist: float = 0.1, random_state: int = 42):
+    """Real UMAP embedding (reference util_latent_analysis.py:45-64).
+    Returns (embedding, 'umap'); the tag is kept for callers that logged
+    the former PCA fallback."""
+    reducer, tag = make_umap(n_components, n_neighbors, min_dist, random_state)
+    return reducer.fit_transform(np.asarray(data)), tag
 
 
 def get_clustering_algorithm(name: str, n_clusters: int, seed: int = 42):

@@ -1,0 +1,247 @@
+"""UMAP (McInnes, Healy & Melville 2018) implemented from scratch, JAX layout.
+
+umap-learn is not installable in this environment, but the reference's
+latent analyses use UMAP projections everywhere
+(reference src/utils/util_latent_analysis.py:45-64,
+src/training/pso_analysis.py, pso_inverter_analysis.py). This module
+implements the published algorithm directly:
+
+1. exact kNN via one pairwise-distance matmul (the analysis datasets are
+   at most a few thousand particles — brute force IS the fast path on MXU);
+2. smooth-kNN calibration: per-point rho_i (distance to nearest nonzero
+   neighbor) and sigma_i solved by bisection so that
+   sum_j exp(-(max(0, d_ij − rho_i)) / sigma_i) = log2(k);
+3. fuzzy simplicial set: w_ij memberships symmetrized by probabilistic
+   t-conorm W + Wᵀ − W∘Wᵀ;
+4. (a, b) curve parameters fitted to the min_dist/spread target curve;
+5. the cross-entropy layout optimized by per-epoch edge sampling with
+   negative sampling — vectorized over ALL edges as one jitted
+   `lax.scan` body (Bernoulli(w/w_max) edge activation has the same
+   expected sampling rate as umap-learn's epochs_per_sample schedule)
+   instead of umap-learn's sequential numba loop.
+
+`transform(new)` embeds out-of-sample points at the membership-weighted
+mean of their kNN's embeddings followed by a short attract-only refinement —
+the same construction umap-learn uses for its transform initialization.
+
+This is a clean-room implementation from the paper; results are a genuine
+UMAP embedding but are not expected to be bitwise-equal to umap-learn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pairwise_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d2 = (
+        (a * a).sum(1)[:, None]
+        + (b * b).sum(1)[None, :]
+        - 2.0 * a @ b.T
+    )
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def _knn(x: np.ndarray, k: int, exclude_self: bool = True):
+    """Exact kNN: (indices [N,k], distances [N,k]) sorted ascending."""
+    d = _pairwise_dists(x, x)
+    if exclude_self:
+        np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+def _smooth_knn(dists: np.ndarray, k: int, n_iter: int = 64):
+    """Per-point (rho, sigma): rho = nearest nonzero-neighbor distance,
+    sigma solved by bisection for sum_j exp(-(d_j − rho)^+ / sigma) = log2(k)."""
+    n = dists.shape[0]
+    # nearest strictly-positive distance (duplicated points give d=0 rows)
+    pos = np.where(dists > 0, dists, np.inf)
+    rho = pos[:, 0].copy()
+    rho[~np.isfinite(rho)] = 0.0
+    target = np.log2(k)
+
+    adj = np.maximum(dists - rho[:, None], 0.0)
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    sigma = np.ones(n)
+    for _ in range(n_iter):
+        psum = np.exp(-adj / sigma[:, None]).sum(axis=1)
+        too_big = psum > target
+        hi = np.where(too_big, sigma, hi)
+        lo = np.where(too_big, lo, sigma)
+        sigma = np.where(np.isfinite(hi), (lo + hi) / 2.0, sigma * 2.0)
+    # umap-learn's MIN_K_DIST_SCALE floor keeps sigma away from 0
+    mean_d = dists.mean() if dists.size else 1.0
+    sigma = np.maximum(sigma, 1e-3 * mean_d)
+    return rho, sigma
+
+
+def _memberships(dists: np.ndarray, rho: np.ndarray, sigma: np.ndarray):
+    return np.exp(-np.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+
+
+def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
+    """Fit 1/(1 + a·d^(2b)) to the piecewise target curve (paper §3.2)."""
+    from scipy.optimize import curve_fit
+
+    xv = np.linspace(0.0, spread * 3.0, 300)
+    yv = np.where(xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread))
+    (a, b), _ = curve_fit(lambda x, a, b: 1.0 / (1.0 + a * x ** (2.0 * b)), xv, yv)
+    return float(a), float(b)
+
+
+class UMAP:
+    """Drop-in subset of umap-learn's API: fit / fit_transform / transform."""
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        n_neighbors: int = 15,
+        min_dist: float = 0.1,
+        spread: float = 1.0,
+        n_epochs: int = 200,
+        learning_rate: float = 1.0,
+        negative_sample_rate: int = 5,
+        random_state: int = 42,
+    ):
+        self.n_components = n_components
+        self.n_neighbors = n_neighbors
+        self.min_dist = min_dist
+        self.spread = spread
+        self.n_epochs = n_epochs
+        self.learning_rate = learning_rate
+        self.negative_sample_rate = negative_sample_rate
+        self.random_state = random_state
+
+    # -- graph ---------------------------------------------------------------
+
+    def _build_graph(self, x: np.ndarray):
+        k = min(self.n_neighbors, len(x) - 1)
+        idx, dists = _knn(x, k)
+        rho, sigma = _smooth_knn(dists, k)
+        w = _memberships(dists, rho, sigma)  # [N, k]
+        n = len(x)
+        dense = np.zeros((n, n), np.float64)
+        rows = np.repeat(np.arange(n), k)
+        dense[rows, idx.ravel()] = w.ravel()
+        sym = dense + dense.T - dense * dense.T  # fuzzy set union
+        heads, tails = np.nonzero(sym)
+        weights = sym[heads, tails]
+        return (idx, rho, sigma), (heads, tails, weights)
+
+    # -- layout --------------------------------------------------------------
+
+    def _optimize(self, init: np.ndarray, edges, n_epochs: int, key_seed: int,
+                  move_tail: bool = True, n_fixed: int = 0,
+                  fixed_ref: np.ndarray | None = None):
+        """Vectorized SGD layout as one jitted lax.scan over epochs.
+
+        move_tail=False + fixed_ref implements transform(): tails index a
+        frozen reference embedding; only heads (the new points) move."""
+        import jax
+        import jax.numpy as jnp
+
+        heads, tails, weights = edges
+        e = len(heads)
+        if e == 0 or n_epochs == 0:
+            return np.asarray(init, np.float32)
+        a, b = find_ab_params(self.spread, self.min_dist)
+        heads = jnp.asarray(heads, jnp.int32)
+        tails = jnp.asarray(tails, jnp.int32)
+        probs = jnp.asarray(weights / weights.max(), jnp.float32)
+        y0 = jnp.asarray(init, jnp.float32)
+        ref = y0 if fixed_ref is None else jnp.asarray(fixed_ref, jnp.float32)
+        n_ref = ref.shape[0]
+        neg = self.negative_sample_rate
+        lr0 = self.learning_rate
+        key = jax.random.key(key_seed)
+
+        def clip4(g):
+            return jnp.clip(g, -4.0, 4.0)
+
+        def epoch(y, ep):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, ep))
+            alpha = lr0 * (1.0 - ep / n_epochs)
+            active = jax.random.uniform(k1, (e,)) < probs  # Bernoulli(w/w_max)
+
+            yh = y[heads]
+            yt = ref[tails] if fixed_ref is not None else y[tails]
+            diff = yh - yt
+            d2 = jnp.sum(diff * diff, axis=1)
+            att = (-2.0 * a * b * d2 ** (b - 1.0)) / (a * d2 ** b + 1.0)
+            att = jnp.where(d2 > 0, att, 0.0)
+            g_att = clip4(att[:, None] * diff) * active[:, None]
+            y = y.at[heads].add(alpha * g_att)
+            if move_tail and fixed_ref is None:
+                y = y.at[tails].add(-alpha * g_att)
+
+            # negative sampling: `neg` uniform repulsors per active edge
+            nidx = jax.random.randint(k2, (e, neg), 0, n_ref)
+            yn = ref[nidx] if fixed_ref is not None else y[nidx]
+            diffn = y[heads][:, None, :] - yn  # [E, neg, dim]
+            d2n = jnp.sum(diffn * diffn, axis=2)
+            rep = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
+            g_rep = clip4(rep[:, :, None] * diffn) * active[:, None, None]
+            y = y.at[heads].add(alpha * jnp.sum(g_rep, axis=1))
+            if n_fixed:
+                y = y.at[jnp.arange(n_fixed)].set(y0[:n_fixed])
+            return y, None
+
+        run = jax.jit(lambda y: jax.lax.scan(epoch, y, jnp.arange(n_epochs))[0])
+        return np.asarray(run(y0))
+
+    # -- public api ----------------------------------------------------------
+
+    def fit(self, x: np.ndarray):
+        x = np.asarray(x, np.float64)
+        self._x = x
+        (idx, rho, sigma), edges = self._build_graph(x)
+        self._knn_idx, self._rho, self._sigma = idx, rho, sigma
+        # deterministic PCA init scaled to max-abs 10 (umap-learn scales its
+        # spectral init the same way), tiny jitter to break symmetry
+        from sklearn.decomposition import PCA
+
+        ncomp = min(self.n_components, x.shape[1], max(1, len(x) - 1))
+        init = PCA(n_components=ncomp, random_state=self.random_state).fit_transform(x)
+        if init.shape[1] < self.n_components:
+            pad = np.zeros((len(x), self.n_components - init.shape[1]))
+            init = np.hstack([init, pad])
+        scale = np.abs(init).max() or 1.0
+        init = init / scale * 10.0
+        init = init + np.random.RandomState(self.random_state).normal(
+            0, 1e-4, init.shape
+        )
+        self.embedding_ = self._optimize(
+            init, edges, self.n_epochs, self.random_state
+        )
+        return self
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        return self.fit(x).embedding_
+
+    def transform(self, xnew: np.ndarray) -> np.ndarray:
+        """Out-of-sample embedding: kNN against the training set, smooth-kNN
+        memberships, init at the membership-weighted mean of neighbor
+        embeddings, short attract-only refinement against the frozen
+        training embedding."""
+        xnew = np.asarray(xnew, np.float64)
+        k = min(self.n_neighbors, len(self._x))
+        d = _pairwise_dists(xnew, self._x)
+        idx = np.argsort(d, axis=1)[:, :k]
+        nd = np.take_along_axis(d, idx, axis=1)
+        rho, sigma = _smooth_knn(nd, k)
+        w = _memberships(nd, rho, sigma)
+        w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        init = np.einsum("nk,nkc->nc", w, self.embedding_[idx])
+
+        heads = np.repeat(np.arange(len(xnew)), k)
+        tails = idx.ravel()
+        weights = w.ravel()
+        good = weights > 0
+        refined = self._optimize(
+            init, (heads[good], tails[good], weights[good]),
+            n_epochs=30, key_seed=self.random_state + 1,
+            move_tail=False, fixed_ref=self.embedding_,
+        )
+        return refined

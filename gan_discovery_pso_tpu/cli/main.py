@@ -10,7 +10,8 @@ start_pso_optimize.sh:3-16) with a single CLI:
 Stages: cae, classifiers, dcgan, cnn, cnn-multipatient, pso-discovery,
 inverter, iid-extract, ood-extract, pso-inverter, regularize-inverter,
 regularize-inverter-statistics, vqvae, pso-analysis,
-pso-analysis-clustering, pso-analysis-distance, claro-preprocess, sweep.
+pso-analysis-clustering, pso-analysis-distance, pso-inverter-analysis,
+claro-preprocess, sweep.
 
 `sweep` runs the reference's latent-dim sweep (start.sh:11: dims
 {2,3,4,6,8,10,20,30,100}) or a per-patient sweep sequentially; each leg is
@@ -83,7 +84,7 @@ def main(argv=None):
         "inverter", "iid-extract", "ood-extract", "pso-inverter",
         "regularize-inverter", "regularize-inverter-statistics", "vqvae",
         "pso-analysis", "pso-analysis-clustering", "pso-analysis-distance",
-        "claro-preprocess", "sweep",
+        "pso-inverter-analysis", "claro-preprocess", "sweep",
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -95,7 +96,7 @@ def main(argv=None):
         p.add_argument("--path-inverter", default=None)
         p.add_argument("--path-pso", default=None, help="pso_discovery interim dir")
         p.add_argument("--path-ood-pso", default=None, help="pso_inverter interim dir")
-        if name == "pso-inverter":
+        if name in ("pso-inverter", "pso-inverter-analysis"):
             p.add_argument("--ood-patient", type=int, default=None)
         if name == "pso-discovery":
             p.add_argument("--batch-classes", action="store_true",
@@ -149,34 +150,6 @@ def _load_cnn(args, ctx):
                      len(iid), iid)
     params, state = load_cnn(args.path_cnn, rdef)
     return params, state, rdef
-
-
-def _run_sharded_discovery(ctx, n_devices, gp, gs, cp, cs, rdef):
-    """Particle-sharded per-class discovery over an n-device mesh (GSPMD
-    global-best all-reduce each iteration)."""
-    import jax
-    import numpy as np
-
-    from gan_discovery_pso_tpu.core.config import PsoConfig
-    from gan_discovery_pso_tpu.parallel import make_mesh, make_sharded_optimize
-    from gan_discovery_pso_tpu.pso import (SwarmResult, make_discovery_fitness,
-                                           save_particle_histories)
-
-    hp = PsoConfig.from_config(ctx.cfg.trainer_pso)
-    mesh = make_mesh(n_devices, "swarm")
-    c2i = rdef.class_to_idx()
-    for label in ctx.data_cfg.iid_classes:
-        fitness = make_discovery_fitness(gp, gs, cp, cs, rdef,
-                                         class_idx=c2i.get(label, 1))
-        run = make_sharded_optimize(mesh, fitness, hp)
-        final, hist, init = run(ctx.keys.child(f"class_{label}")("pso"))
-        jax.block_until_ready(final)
-        res = SwarmResult(final, hist, init, hp)
-        save_particle_histories(ctx.run.interim_dir, label,
-                                res.particle_trajectories(),
-                                res.velocity_trajectories(), kind="iid")
-        print(f"[pso_discovery/sharded x{n_devices}] class {label}: "
-              f"g_best={float(res.g_best_val):.5f}")
 
 
 def dispatch(args):
@@ -236,11 +209,11 @@ def dispatch(args):
         elif stage == "pso-discovery":
             gp, gs = _load_gan(args)
             cp, cs, rdef = _load_cnn(args, ctx)
-            if getattr(args, "shard_swarm", None):
-                _run_sharded_discovery(ctx, args.shard_swarm, gp, gs, cp, cs, rdef)
-            else:
-                P.run_pso_discovery(ctx, gp, gs, cp, cs, rdef,
-                                    batch_classes=getattr(args, "batch_classes", False))
+            # --shard-swarm goes through the SAME pipeline (full artifact
+            # contract: timing.json, pickles, plots, image grids)
+            P.run_pso_discovery(ctx, gp, gs, cp, cs, rdef,
+                                batch_classes=getattr(args, "batch_classes", False),
+                                shard_devices=getattr(args, "shard_swarm", None))
         elif stage == "inverter":
             gp, gs = _load_gan(args)
             cnn = None
@@ -284,9 +257,19 @@ def dispatch(args):
                 ood_labels=tuple(ctx.data_cfg.ood_classes) if args.path_ood_pso else None)
         elif stage == "pso-analysis-distance":
             P.run_pso_analysis_distance(ctx, args.path_pso)
+        elif stage == "pso-inverter-analysis":
+            if args.path_pso is None or args.path_ood_pso is None:
+                sys.exit("--path-pso (iid discovery interim) and "
+                         "--path-ood-pso (pso-inverter interim) required")
+            ood_patient = getattr(args, "ood_patient", None)
+            if ood_patient is None:
+                ood_patient = int(ctx.cfg.pso_inverter.ood_patient)
+            P.run_pso_inverter_analysis(
+                ctx, args.path_pso, args.path_ood_pso, ood_patient)
         elif stage == "claro-preprocess":
-            sys.exit("claro-preprocess needs slice ids; use the pipelines API "
-                     "(run_claro_preprocess) with your patient manifest")
+            # end-to-end from config + manifests (reference
+            # src/data/dataset_preparation.py:78-103); --tiny caps slices
+            P.run_claro_preprocess(ctx, limit=ctx.limit)
         else:
             sys.exit(f"unknown stage {stage}")
     print(f"[{stage}] done → {ctx.run.reports_dir}")

@@ -105,6 +105,105 @@ def load_tiff(path: str | Path) -> np.ndarray:
     return np.array(Image.open(path)).astype(np.float64)
 
 
+def load_slice_image(path: str | Path) -> np.ndarray:
+    """Extension-dispatched slice loader (reference util_data.py:145-154):
+    `.mat` via scipy.io (the array lives under the 'img' key), anything PIL
+    can open (`.png`, `.tif`, ...) as float32."""
+    path = Path(path)
+    if path.suffix == ".mat":
+        import scipy.io as sio
+
+        return np.asarray(sio.loadmat(path)["img"], np.float32)
+    from PIL import Image
+
+    return np.asarray(Image.open(path), np.float32)
+
+
+def slice_loader(
+    path: str | Path,
+    img_dim: int,
+    rescale_minus_1_plus_1: bool = False,
+    fill_nan: float = -1000.0,
+) -> np.ndarray:
+    """The sliding-window datasets' per-slice chain (reference
+    util_data.py:277-309): load (.mat/.png) → NaN fill → resize(img_dim) →
+    per-image min-max rescale to [0,1] → optional [-1,1]. Returns [1,H,W]
+    f32. Train-time geometric augmentation is NOT applied here — it runs
+    batched on device via data/augment.py (the TPU-native replacement for
+    the reference's per-item cv2 host augmentation, :235-276)."""
+    img = load_slice_image(path)
+    if np.isnan(img).any():
+        img = np.where(np.isnan(img), np.float32(fill_nan), img)
+    if img.shape[0] != img_dim or img.shape[1] != img_dim:
+        import jax
+        import jax.numpy as jnp
+
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(img, jnp.float32), (img_dim, img_dim), "linear")
+        )
+    img = normalize01(img.astype(np.float64)).astype(np.float32)
+    if rescale_minus_1_plus_1:
+        img = ((img - 0.5) * 2.0).astype(np.float32)
+    return img[None, :, :]
+
+
+class SlidingWindowDataset(NamedTuple):
+    """HBM-friendly materialization of the reference's sliding-window CT
+    datasets (DatasetSlidingWindowClaro/Aerts, util_data.py:358-420): the
+    whole manifest is loaded into one [N,1,H,W] stack up front (slices are
+    small) so epochs are jitted gathers, matching data/mnist.py's design —
+    not a per-item host Dataset."""
+
+    images: np.ndarray  # [N, 1, H, W] float32
+    labels: np.ndarray  # [N] int32
+    patient_ids: tuple  # [N] str patient id
+    slice_ids: tuple  # [N] str/int slice id
+
+
+def _sliding_window_dir(data_dir, cfg_data, flavor: str) -> Path:
+    """The two reference classes differ ONLY in the image-directory layout
+    (util_general.create_path): claro adds the nan_cutoff path segment
+    (util_data.py:363), aerts does not (:395)."""
+    base = Path(data_dir) / str(cfg_data["channel"]) / str(cfg_data["image_size"])
+    if flavor == "claro":
+        return base / str(cfg_data["nan_cutoff"])
+    if flavor == "aerts":
+        return base
+    raise ValueError(f"unknown sliding-window flavor {flavor!r}")
+
+
+def load_sliding_window_dataset(
+    manifest: dict[str, list],
+    data_dir: str | Path,
+    cfg_data,
+    flavor: str = "claro",
+    step: str = "train",
+    extension: str = ".mat",
+) -> SlidingWindowDataset:
+    """manifest: {'id': [...], 'id_slice': [...], 'label': [...]} (the
+    reference's DataFrame rows, util_data.py:377-385,409-417). Each slice is
+    `{id}_{id_slice}{extension}` under the flavor's directory layout and
+    runs through `slice_loader`. `step` is accepted for API parity; the
+    train-time augmentation itself is device-side (see slice_loader)."""
+    img_dir = _sliding_window_dir(data_dir, cfg_data, flavor)
+    img_dim = int(cfg_data["image_size"])
+    rescale_pm1 = bool(cfg_data.get("rescale_minus_1_plus_1", False))
+    imgs, labels, pids, sids = [], [], [], []
+    for pid, sid, lab in zip(manifest["id"], manifest["id_slice"], manifest["label"]):
+        sid_s = str(int(sid)) if isinstance(sid, float) and sid == int(sid) else str(sid)
+        path = img_dir / f"{pid}_{sid_s}{extension}"
+        imgs.append(slice_loader(path, img_dim, rescale_minus_1_plus_1=rescale_pm1))
+        labels.append(int(float(lab)))
+        pids.append(str(pid))
+        sids.append(sid_s)
+    return SlidingWindowDataset(
+        images=np.stack(imgs, axis=0),
+        labels=np.asarray(labels, np.int32),
+        patient_ids=tuple(pids),
+        slice_ids=tuple(sids),
+    )
+
+
 def prepare_patient_dataset(
     data_dir: str | Path,
     dataset: str,
@@ -136,5 +235,47 @@ def prepare_patient_dataset(
         if out_dir is not None:
             od = Path(out_dir)
             od.mkdir(parents=True, exist_ok=True)
-            Image.fromarray((x[0] * 255).astype(np.uint8)).save(od / f"{sid}.tif")
+            # float32 TIFF like the reference export
+            # (dataset_preparation.py:95-103: Image.fromarray on the raw
+            # normalized float array)
+            Image.fromarray(x[0].astype(np.float32), mode="F").save(
+                od / f"{sid}.tif", format="TIFF"
+            )
     return np.stack(out, axis=0), meta
+
+
+def read_box_manifest(path: str | Path, box_value: str = "box") -> dict:
+    """Box manifest → {img_id: [y0, x0, y1, x1]} (reference
+    ImgDatasetPreparation, util_medical_data.py:137-141: indexed by
+    'img ID', the box column holds a stringified list that the reference
+    eval()s — parsed here with ast.literal_eval)."""
+    import ast
+
+    from gan_discovery_pso_tpu.data.xlsx import read_manifest
+
+    cols = read_manifest(path)
+    ids = cols["img ID"]
+    boxes = cols[box_value]
+    out = {}
+    for img_id, box in zip(ids, boxes):
+        if img_id is None or box is None:
+            continue
+        key = str(Path(str(img_id)).name)
+        out[key] = list(ast.literal_eval(str(box)))
+    return out
+
+
+def read_patients_info(path: str | Path) -> list[str]:
+    """patients_info_{dataset} manifest → ['{patient}_{slice}', ...]
+    (reference dataset_preparation.py:81-83: the 'image' column holds
+    'subdir/{patient}_{slice}.tif' paths)."""
+    from gan_discovery_pso_tpu.data.xlsx import read_manifest
+
+    cols = read_manifest(path)
+    out = []
+    for row in cols["image"]:
+        if row is None:
+            continue
+        name = str(row).replace("\\", "/").split("/")[-1]
+        out.append(name.split(".tif")[0])
+    return out

@@ -25,5 +25,6 @@ from gan_discovery_pso_tpu.pipelines.analysis_stages import (
     run_pso_analysis,
     run_pso_analysis_clustering,
     run_pso_analysis_distance,
+    run_pso_inverter_analysis,
     run_claro_preprocess,
 )

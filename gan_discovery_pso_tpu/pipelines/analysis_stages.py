@@ -7,6 +7,8 @@ All host-side: they consume the particle artifacts written by the discovery
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 from gan_discovery_pso_tpu.analysis import (
@@ -111,6 +113,84 @@ def run_pso_analysis_clustering(
     return result
 
 
+def run_pso_inverter_analysis(
+    ctx: StageContext,
+    iid_interim_dir,
+    ood_interim_dir,
+    ood_patient,
+    classes=None,
+    algorithm=None,
+):
+    """Per-patient OoD→cluster assignment report (reference
+    src/training/pso_inverter_analysis.py:180-210):
+
+    - fit the clustering algorithm on the full-dim IiD discovery particles
+      and persist it (`{algorithm}.pkl`, :186-188);
+    - predict the cluster of every OoD-patient latent (:205-207) →
+      `ood_patient_{p}_cluster_assignment.json` with the per-cluster counts;
+    - for each of PCA and UMAP: re-fit the clustering on the 2-D reduced
+      IiD data, plot the IiD latent space, then `reducer.transform` the OoD
+      latents and plot the overlay (:194-208)."""
+    import json
+    import pickle
+
+    from gan_discovery_pso_tpu.analysis.latent import make_umap, pca_project
+
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    if algorithm is None:
+        algorithm = str(ctx.cfg.trainer_pso_analysis.clustering_algorithm)
+    seed = int(ctx.cfg.get("seed", 42) or 42)
+    plot_dir = ctx.run.reports_dir / "training_plot"
+    plot_dir.mkdir(parents=True, exist_ok=True)
+
+    data, labels = _stack_classes(iid_interim_dir, classes, "iid")
+    ood_data, _ = _stack_classes(ood_interim_dir, [ood_patient], "ood")
+    # the reference predicts with .astype('double') (:205); sklearn requires
+    # fit/predict dtypes to match, so fit on double too
+    data = data.astype(np.float64)
+    ood_data = ood_data.astype(np.float64)
+
+    # full-dimensional clustering ('no_transformation', :186)
+    cl_labels, centers, model = cluster_latents(data, algorithm, len(classes), seed=seed)
+    with open(ctx.run.models_dir / f"{algorithm}.pkl", "wb") as f:
+        pickle.dump(model, f)
+    assignment = assign_to_clusters(model, ood_data.astype(np.float64))
+    counts = {int(c): int((assignment == c).sum()) for c in np.unique(assignment)}
+    report = {
+        "ood_patient": int(ood_patient),
+        "algorithm": algorithm,
+        "n_ood_latents": int(len(ood_data)),
+        "cluster_assignment": [int(a) for a in assignment],
+        "cluster_counts": counts,
+        "dominant_cluster": int(max(counts, key=counts.get)),
+    }
+    with open(
+        ctx.run.reports_dir / f"ood_patient_{ood_patient}_cluster_assignment.json", "w"
+    ) as f:
+        json.dump(report, f, indent=2)
+
+    # reduced-space analyses: pca + umap (:194-208)
+    for method in ("pca", "umap"):
+        if method == "pca":
+            reduced_iid, reducer = pca_project(data, 2, return_model=True)
+        else:
+            reducer, _tag = make_umap(2, random_state=seed)
+            reduced_iid = reducer.fit_transform(data)
+        cluster_latents(reduced_iid, algorithm, len(classes), seed=seed)
+        reporting.plot_scatter_2d(
+            reduced_iid, labels, plot_dir / f"latent_space_{method}.png",
+            title=f"{method} latent space (iid)",
+        )
+        reduced_ood = reducer.transform(ood_data)
+        reporting.plot_scatter_2d(
+            reduced_iid, labels,
+            plot_dir / f"latent_space_{method}_ood_{ood_patient}.png",
+            title=f"{method} iid + ood patient {ood_patient}",
+            extra=reduced_ood,
+        )
+    return report
+
+
 def run_pso_analysis_distance(ctx: StageContext, pso_interim_dir, classes=None,
                               kind: str = "iid"):
     """Within-class pairwise and cross-class mutual distance distributions
@@ -136,23 +216,67 @@ def run_pso_analysis_distance(ctx: StageContext, pso_interim_dir, classes=None,
     return summary
 
 
-def run_claro_preprocess(ctx: StageContext, slice_ids=None, boxes=None):
-    """CLARO CT export stage (reference src/data/dataset_preparation.py +
-    configs/claro_preprocess.yaml): preprocess per-patient TIFF slices and
-    export normalized TIFFs for GAN training."""
+def run_claro_preprocess(
+    ctx: StageContext,
+    slice_ids=None,
+    boxes=None,
+    patients_info=None,
+    limit: int | None = None,
+):
+    """CLARO CT export stage, end-to-end from config + manifests (reference
+    src/data/dataset_preparation.py:78-103 + configs/claro_preprocess.yaml):
+
+    - `patients_info_{dataset}.xlsx` (or .csv) in the interim dir lists the
+      slice TIFFs ('image' column);
+    - `data.box_file` maps 'img ID' → the `data.box_value` box list;
+    - slice ids are the intersection of the two (sorted, like
+      np.intersect1d at :87);
+    - every slice runs crop→resize→clip→normalize and exports a float32
+      TIFF under `interim/stylegan/` for downstream GAN training.
+
+    `slice_ids`/`boxes` override manifest discovery for API use."""
     from gan_discovery_pso_tpu.data import ClipSpec, prepare_patient_dataset
+    from gan_discovery_pso_tpu.data.medical import (
+        read_box_manifest,
+        read_patients_info,
+    )
 
     cfg = ctx.cfg
     clip = cfg.data.get("clip")
     scale = cfg.data.get("scale")
     clip = ClipSpec(float(clip["min"]), float(clip["max"])) if clip else None
     scale = ClipSpec(float(scale["min"]), float(scale["max"])) if scale else None
+
+    box_file = cfg.data.get("box_file")
+    if boxes is None and box_file:
+        boxes = read_box_manifest(box_file, str(cfg.data.get("box_value", "box")))
     if slice_ids is None:
-        raise ValueError("slice_ids required (patient_img identifiers)")
+        if patients_info is None:
+            dataset = ctx.data_cfg.dataset
+            base = Path(ctx.data_cfg.interim_dir) / dataset
+            cands = [base / f"patients_info_{dataset}.xlsx",
+                     base / f"patients_info_{dataset}.csv"]
+            patients_info = next((p for p in cands if p.exists()), None)
+            if patients_info is None:
+                raise FileNotFoundError(
+                    f"no patients_info manifest under {base} "
+                    "(expected patients_info_{dataset}.xlsx/.csv)"
+                )
+        all_ids = read_patients_info(patients_info)
+        if boxes is not None:
+            # np.intersect1d semantics (:87): sorted unique intersection
+            slice_ids = sorted(set(all_ids) & set(boxes))
+        else:
+            slice_ids = sorted(set(all_ids))
+    if limit is not None:
+        slice_ids = list(slice_ids)[:limit]
+    print(f"[claro_preprocess] {len(slice_ids)} slices")
+
     stack, meta = prepare_patient_dataset(
         ctx.data_cfg.data_dir, ctx.data_cfg.dataset, slice_ids,
         ctx.data_cfg.image_size, boxes=boxes, clip=clip, scale=scale,
-        out_dir=ctx.run.interim_dir / "tiff_export",
+        # reference exports to interim/{dataset}/stylegan (:70-71)
+        out_dir=ctx.run.interim_dir / "stylegan",
     )
     np.savez_compressed(ctx.run.interim_dir / "claro_preprocessed.npz",
                         images=stack)

@@ -22,13 +22,37 @@ def _blobs(seed=0):
     return np.vstack([a, b]).astype(np.float32)
 
 
-def test_pca_and_umap_fallback():
+def test_pca_and_umap():
     x = _blobs()
     p2 = pca_project(x, 2)
     assert p2.shape == (80, 2)
     u2, method = umap_project(x, 2)
     assert u2.shape == (80, 2)
-    assert method in ("umap", "pca-fallback")
+    assert method == "umap"  # real UMAP (umap_impl.py), no PCA fallback
+
+
+def test_umap_impl_separates_blobs_and_transforms():
+    """The from-scratch UMAP must keep the two well-separated blobs apart
+    and embed out-of-sample points near their source blob."""
+    from gan_discovery_pso_tpu.analysis.umap_impl import UMAP
+
+    x = _blobs()
+    um = UMAP(n_neighbors=10, n_epochs=100, random_state=0)
+    emb = um.fit_transform(x)
+    assert emb.shape == (80, 2) and np.isfinite(emb).all()
+    ca, cb = emb[:40].mean(0), emb[40:].mean(0)
+    spread = max(emb[:40].std(), emb[40:].std(), 1e-6)
+    # inter-cluster distance dominates intra-cluster spread
+    assert np.linalg.norm(ca - cb) > 2.0 * spread
+
+    # transform: new points drawn from blob A land nearer A's centroid
+    rng = np.random.RandomState(3)
+    new_a = (rng.randn(10, 5) + np.array([3, 0, 0, 0, 0])).astype(np.float32)
+    t = um.transform(new_a)
+    assert t.shape == (10, 2) and np.isfinite(t).all()
+    d_a = np.linalg.norm(t - ca, axis=1)
+    d_b = np.linalg.norm(t - cb, axis=1)
+    assert (d_a < d_b).mean() >= 0.9
 
 
 def test_clustering_factory_and_assignment():
@@ -101,6 +125,51 @@ def test_report_artifacts(tmp_path):
     assert reporting.plot_posterior_polarization(p_yx, [0, 2, 3, 7], tmp_path / "pol.png").exists()
 
 
+def test_pso_inverter_analysis_stage(tmp_path):
+    """Dedicated per-patient cluster-assignment stage (reference
+    src/training/pso_inverter_analysis.py:180-210): model pkl, per-patient
+    assignment report, pca+umap latent-space plots with OoD overlay."""
+    from gan_discovery_pso_tpu.core import load_config
+    from gan_discovery_pso_tpu.pipelines import (
+        StageContext,
+        run_pso_inverter_analysis,
+    )
+    from gan_discovery_pso_tpu.pso.io import save_particle_histories
+
+    rng = np.random.RandomState(5)
+    iid_dir = tmp_path / "iid"
+    ood_dir = tmp_path / "ood"
+    # two IiD classes with separated particle clouds; the OoD patient's
+    # latents sit on class 2's cloud
+    offsets = {0: -4.0, 2: 4.0}
+    for label, off in offsets.items():
+        traj = rng.randn(3, 16, 6).astype(np.float32) + off
+        save_particle_histories(iid_dir, label, traj, np.zeros_like(traj), "iid")
+    ood_traj = rng.randn(3, 12, 6).astype(np.float32) + 4.0
+    save_particle_histories(ood_dir, 1, ood_traj, np.zeros_like(ood_traj), "ood")
+
+    cfg = load_config("configs/dcgan_mnist.yaml", overrides={
+        "data.data_dir": str(tmp_path / "raw"),
+        "data.interim_dir": str(tmp_path / "interim"),
+        "data.model_dir": str(tmp_path / "models"),
+        "data.reports_dir": str(tmp_path / "reports"),
+    })
+    ctx = StageContext.create(cfg, "pso_inverter_analysis")
+    report = run_pso_inverter_analysis(ctx, iid_dir, ood_dir, ood_patient=1,
+                                       classes=(0, 2), algorithm="kmeans")
+
+    assert report["n_ood_latents"] == 12
+    assert len(report["cluster_assignment"]) == 12
+    # all OoD latents land in ONE cluster (they sit on class 2's cloud)
+    assert len(report["cluster_counts"]) == 1
+    assert (ctx.run.models_dir / "kmeans.pkl").exists()
+    assert (ctx.run.reports_dir / "ood_patient_1_cluster_assignment.json").exists()
+    for method in ("pca", "umap"):
+        assert (ctx.run.reports_dir / "training_plot" / f"latent_space_{method}.png").exists()
+        assert (ctx.run.reports_dir / "training_plot"
+                / f"latent_space_{method}_ood_1.png").exists()
+
+
 def test_cv_evaluator_and_error_reject(tmp_path):
     rng = np.random.RandomState(8)
     ev = reporting.CvEvaluator()
@@ -112,7 +181,10 @@ def test_cv_evaluator_and_error_reject(tmp_path):
     assert 0.5 < summ["auc_mean"] <= 1.0
     assert ev.plot_roc(tmp_path / "roc.png").exists()
 
-    rr, err = reporting.error_reject_curve(y, s, tmp_path / "er.png")
-    assert len(rr) == len(err) == 60
-    # rejecting low-confidence samples should not increase error at the tail
-    assert err[-1] <= err[0] + 1e-9
+    # reference reliability-threshold sweep: 90 points, percentages
+    rr, err = reporting.error_reject_curve(y, s, tmp_path / "er.png", label=1)
+    assert len(rr) == len(err) == 90
+    assert np.all((0 <= rr) & (rr <= 100)) and np.all((0 <= err) & (err <= 100))
+    # raising the reliability bar can only reject more
+    assert np.all(np.diff(rr) >= -1e-9)
+    assert (tmp_path / "er.png").exists()

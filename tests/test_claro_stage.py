@@ -37,7 +37,135 @@ def test_claro_preprocess_stage(tmp_path):
     assert stack.min() >= 0.0 and stack.max() <= 1.0
     assert meta[0] == ("PAT1", "0")
     assert (ctx.run.interim_dir / "claro_preprocessed.npz").exists()
-    exported = list((ctx.run.interim_dir / "tiff_export").glob("*.tif"))
+    # reference export layout: interim/.../stylegan/{id}.tif, float32
+    # (dataset_preparation.py:70-71,95-103)
+    exported = sorted((ctx.run.interim_dir / "stylegan").glob("*.tif"))
     assert len(exported) == 4
+    reread = np.asarray(Image.open(exported[0]))
+    assert reread.dtype == np.float32
+    np.testing.assert_allclose(reread, stack[0, 0], atol=1e-6)
     # the claro yaml's string class fields parse as 1-tuples
     assert ctx.data_cfg.iid_classes == ("claro_retrospettivo",)
+
+
+def _write_patient_tiffs(tmp_path, dataset, patients=("PAT1", "PAT2"), n_slices=2):
+    rng = np.random.RandomState(1)
+    slice_ids = []
+    for pid in patients:
+        d = tmp_path / "raw" / dataset / pid / "images"
+        d.mkdir(parents=True, exist_ok=True)
+        for s in range(n_slices):
+            sid = f"{pid}_{s}"
+            scan = rng.uniform(-1500, 1500, (96, 96)).astype(np.float32)
+            Image.fromarray(scan).save(d / f"{sid}.tif")
+            slice_ids.append(sid)
+    return slice_ids
+
+
+def test_claro_preprocess_from_xlsx_manifests(tmp_path):
+    """End-to-end manifest discovery (reference dataset_preparation.py:78-90):
+    patients_info xlsx 'image' column ∩ box xlsx 'img ID' → slice set."""
+    from gan_discovery_pso_tpu.data.xlsx import write_xlsx
+
+    dataset = "claro_prospettivo"
+    slice_ids = _write_patient_tiffs(tmp_path, dataset)
+
+    interim_ds = tmp_path / "interim" / dataset
+    interim_ds.mkdir(parents=True)
+    # patients_info lists ALL slices; box manifest covers only 3 of 4 → the
+    # intersection drops the boxless one
+    write_xlsx(interim_ds / f"patients_info_{dataset}.xlsx",
+               {"image": [f"imgs/{sid}.tif" for sid in slice_ids]})
+    boxed = slice_ids[:3]
+    write_xlsx(tmp_path / "boxes.xlsx", {
+        "img ID": boxed,
+        "max_box": ["[20, 25, 70, 60]"] * len(boxed),
+    })
+
+    cfg = load_config("configs/claro_preprocess.yaml", overrides={
+        "data.data_dir": str(tmp_path / "raw"),
+        "data.interim_dir": str(tmp_path / "interim"),
+        "data.model_dir": str(tmp_path / "models"),
+        "data.reports_dir": str(tmp_path / "reports"),
+        "data.image_size": 32,
+        "data.box_file": str(tmp_path / "boxes.xlsx"),
+        "data.box_value": "max_box",
+    })
+    ctx = StageContext.create(cfg, "claro_preprocess")
+    stack, meta = run_claro_preprocess(ctx)
+    assert stack.shape == (3, 1, 32, 32)
+    assert sorted(f"{p}_{s}" for p, s in meta) == sorted(boxed)
+    assert len(list((ctx.run.interim_dir / "stylegan").glob("*.tif"))) == 3
+
+
+def test_xlsx_roundtrip(tmp_path):
+    from gan_discovery_pso_tpu.data.xlsx import read_manifest, read_xlsx, write_xlsx
+
+    cols = {"img ID": ["A_1", "B_2", "C_3"], "max_box": ["[1, 2, 3, 4]"] * 3,
+            "n": [1.5, 2.0, 3.25]}
+    p = write_xlsx(tmp_path / "m.xlsx", cols)
+    got = read_xlsx(p)
+    assert got["img ID"] == cols["img ID"]
+    assert got["max_box"] == cols["max_box"]
+    assert got["n"] == cols["n"]
+    # read_manifest dispatches on suffix; csv path too
+    import csv
+
+    with open(tmp_path / "m.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["img ID", "max_box"])
+        w.writeheader()
+        w.writerows([{"img ID": i, "max_box": b}
+                     for i, b in zip(cols["img ID"], cols["max_box"])])
+    got_csv = read_manifest(tmp_path / "m.csv")
+    assert got_csv["img ID"] == cols["img ID"]
+
+
+def test_sliding_window_dataset_mat_and_png(tmp_path):
+    """DatasetSlidingWindowClaro/Aerts parity (reference util_data.py:358-420):
+    manifest rows → {id}_{slice}.mat under the flavor's directory layout,
+    loader = nan-fill → resize → minmax → optional [-1,1]."""
+    import scipy.io as sio
+
+    from gan_discovery_pso_tpu.data.medical import (
+        load_sliding_window_dataset,
+        load_slice_image,
+        slice_loader,
+    )
+
+    cfg_data = {"channel": 1, "image_size": 32, "nan_cutoff": 0.5,
+                "rescale_minus_1_plus_1": True}
+    # claro layout: data_dir/channel/image_size/nan_cutoff/
+    img_dir = tmp_path / "sw" / "1" / "32" / "0.5"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(2)
+    manifest = {"id": [], "id_slice": [], "label": []}
+    for i, pid in enumerate(("P1", "P2")):
+        arr = rng.uniform(-1000, 1000, (48, 48)).astype(np.float32)
+        arr[0, 0] = np.nan  # exercise the NaN fill
+        sio.savemat(img_dir / f"{pid}_{i}.mat", {"img": arr})
+        manifest["id"].append(pid)
+        manifest["id_slice"].append(float(i))  # xlsx numbers arrive as float
+        manifest["label"].append(float(i % 2))
+
+    ds = load_sliding_window_dataset(manifest, tmp_path / "sw", cfg_data,
+                                     flavor="claro")
+    assert ds.images.shape == (2, 1, 32, 32)
+    assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
+    assert tuple(ds.labels) == (0, 1)
+    assert ds.patient_ids == ("P1", "P2") and ds.slice_ids == ("0", "1")
+
+    # aerts layout omits the nan_cutoff segment
+    img_dir2 = tmp_path / "sw" / "1" / "32"
+    sio.savemat(img_dir2 / "P1_0.mat", {"img": rng.rand(32, 32).astype(np.float32)})
+    ds2 = load_sliding_window_dataset(
+        {"id": ["P1"], "id_slice": ["0"], "label": [0]},
+        tmp_path / "sw", cfg_data, flavor="aerts")
+    assert ds2.images.shape == (1, 1, 32, 32)
+
+    # .png branch of the extension-dispatched loader (util_data.py:145-154)
+    png = tmp_path / "x.png"
+    Image.fromarray((rng.rand(20, 20) * 255).astype(np.uint8)).save(png)
+    img = load_slice_image(png)
+    assert img.shape == (20, 20) and img.dtype == np.float32
+    x = slice_loader(png, 16)
+    assert x.shape == (1, 16, 16) and 0.0 <= x.min() and x.max() <= 1.0
