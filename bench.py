@@ -1,28 +1,42 @@
 """Headline benchmark: PSO fitness evals/sec/chip on the dcgan_mnist workload.
 
-Workload (BASELINE.md): 32-particle × 50-iteration PSO discovery where one
-fitness eval = one DCGAN-G forward + one ResNet50 forward (+ the full swarm
-update math). The reference executes this per particle at batch size 1 on
-the host loop (reference src/pso/util_pso.py:114-133,
-src/pso/util_discovery.py:45-82); the TPU framework runs the entire
-50-iteration optimize as one fused jitted program.
+Workload (BASELINE.md): per-class PSO discovery where one fitness eval is
+one DCGAN-G forward + one ResNet50 forward (+ the full swarm update math).
+The reference executes this per particle at batch size 1 in a host loop,
+sequentially per class (reference src/pso/util_pso.py:114-133,
+src/pso/util_discovery.py:45-82, src/training/pso_discovery.py:174).
+
+FLAGSHIP path (the TPU-native default): ALL 8 IiD class swarms advance in
+lockstep as ONE vmapped jitted program (8 x 32 = 256 fitness forwards per
+iteration feeding the MXU) with bf16 fast-math for the model forwards.
+The bf16 result is GATED on fp32 parity: every class's converged g_best
+must match the fp32 run to <= 1e-3, else the headline falls back to the
+fp32 batched number (gate state is reported in the JSON line).
+
+MFU: analytic model FLOPs per eval (XLA compiled cost analysis of one
+fitness forward, divided by batch) x measured evals/s / chip bf16 peak.
 
 Baseline: a torch-CPU re-creation of the reference's execution pattern
 (batch-1 G forward + batch-1 ResNet50 forward per particle, host update
 math), measured in-process and extrapolated from a few iterations.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 N_PARTICLES = 32
 N_ITERATIONS = 50
+N_CLASSES = 8
 DIM = 100
+
+# v5e bf16 peak per chip; override for other chips.
+PEAK_FLOPS = float(os.environ.get("GDPT_TPU_PEAK_FLOPS", 197e12))
 
 
 def log(*a):
@@ -111,15 +125,35 @@ def measure_torch_cpu_baseline(n_iters: int = 2) -> float:
 
 
 # --------------------------------------------------------------------------
-# TPU measurement: the fused jitted optimize.
+# TPU measurement: batched 8-class bf16 flagship with fp32 gate + MFU.
 # --------------------------------------------------------------------------
 
 
-def measure_tpu(reps: int = 5) -> float:
+def _flops_per_eval(fitness, n: int) -> float | None:
+    """Model FLOPs of ONE fitness eval via XLA's compiled cost analysis of a
+    batch-n forward (robust to architecture details)."""
     import jax
+    import jax.numpy as jnp
 
-    # persistent compile cache: the 50-iteration fused program is large and
-    # its first XLA compile can take minutes over the tunnel; cache it across
+    try:
+        pos = jnp.zeros((n, DIM), jnp.float32)
+        cost = jax.jit(fitness).lower(pos).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        fl = float(cost.get("flops", 0.0))
+        return fl / n if fl > 0 else None
+    except Exception as e:  # pragma: no cover - backend-dependent
+        log(f"cost analysis unavailable: {e!r}")
+        return None
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compile cache: the fused 50-iteration programs are large and
+    # first XLA compiles can take minutes over the tunnel; cache across
     # processes so driver re-runs are warm.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -132,70 +166,121 @@ def measure_tpu(reps: int = 5) -> float:
         generator_init,
         resnet_init,
     )
-    from gan_discovery_pso_tpu.pso import make_discovery_fitness, optimize
+    from gan_discovery_pso_tpu.ops.precision import fast_math
+    from gan_discovery_pso_tpu.pso import (
+        make_discovery_fitness,
+        make_discovery_fitness_dynamic,
+        optimize,
+    )
 
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
     keys = seed_all(42)
     gp, gs = generator_init(keys("g"), GeneratorDef(z_dim=DIM))
-    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    rdef = ResNetDef("ResNet50", 1, N_CLASSES, (0, 2, 3, 4, 6, 7, 8, 9))
     rp, rs = resnet_init(keys("r"), rdef, init="glorot_normal")
-    fitness = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
     hp = PsoConfig(n_iterations=N_ITERATIONS, n_particles=N_PARTICLES, dim_space=DIM)
+    class_idxs = jnp.arange(N_CLASSES, dtype=jnp.int32)
+    swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(N_CLASSES)])
+    total_evals = N_CLASSES * N_PARTICLES * N_ITERATIONS
 
-    run = jax.jit(lambda k: optimize(k, fitness, hp))
-    t0 = time.time()
-    out = run(keys("pso"))
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    def batched_runner(dtype):
+        fit = make_discovery_fitness_dynamic(gp, gs, rp, rs, rdef, dtype=dtype)
 
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.time()
-        out = run(jax.random.key(i))
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    final = out[0]
-    log(f"best warm 50-iter optimize: {best * 1000:.1f} ms; "
-        f"g_best={float(final.g_best_val):.5f}")
+        def one(ci, key):
+            return optimize(key, lambda pos: fit(pos, ci), hp)
 
-    # secondary (stderr-only) metrics: 256-particle inverter config, fp32 +
-    # bf16 fast-math. The headline JSON stays the workload-matched 32p fp32.
-    try:
-        import jax.numpy as jnp
-
-        from gan_discovery_pso_tpu.ops.precision import fast_math
-
-        hp256 = PsoConfig(n_iterations=N_ITERATIONS, n_particles=256, dim_space=DIM)
-        fit16 = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2,
-                                       dtype=jnp.bfloat16)
+        if dtype is None:
+            return jax.jit(jax.vmap(one, in_axes=(0, 0)))
         with fast_math():
-            run16 = jax.jit(lambda k: optimize(k, fit16, hp256))
-        out = run16(jax.random.key(0))
-        jax.block_until_ready(out)
+            return jax.jit(jax.vmap(one, in_axes=(0, 0)))
+
+    def timed(run, label, reps=3):
         t0 = time.time()
-        out = run16(jax.random.key(1))
+        out = run(class_idxs, swarm_keys)
         jax.block_until_ready(out)
-        dt = time.time() - t0
-        log(f"secondary: 256p bf16 fast-math {dt * 1000:.1f} ms -> "
-            f"{N_ITERATIONS * 256 / dt:.0f} evals/s "
-            f"(g_best={float(out[0].g_best_val):.5f})")
-    except Exception as e:  # secondary metric must never fail the bench
-        log(f"secondary metric skipped: {e!r}")
-    return N_ITERATIONS * N_PARTICLES / best
+        log(f"{label}: compile+first run {time.time() - t0:.1f}s")
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = run(class_idxs, swarm_keys)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        g_best = np.asarray(out[0].g_best_val, np.float32)
+        log(f"{label}: best {best * 1000:.1f} ms -> {total_evals / best:.0f} evals/s; "
+            f"g_best per class = {np.array2string(g_best, precision=5)}")
+        return best, g_best
+
+    # fp32 batched (the parity path; also the gate's truth)
+    wall32, g32 = timed(batched_runner(None), "fp32 batched 8-class")
+    # bf16 fast-math batched (the flagship candidate)
+    wall16, g16 = timed(batched_runner(jnp.bfloat16), "bf16 batched 8-class")
+
+    gate_diff = float(np.max(np.abs(g32 - g16)))
+    gate_ok = gate_diff <= 1e-3
+    log(f"fitness gate: max |g_best_fp32 - g_best_bf16| = {gate_diff:.2e} "
+        f"({'PASS' if gate_ok else 'FAIL -> fp32 headline'})")
+
+    headline_wall = wall16 if gate_ok else wall32
+    headline = total_evals / headline_wall
+
+    # MFU: model FLOPs per eval x evals/s / chip peak
+    fit_flops = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
+    fpe = _flops_per_eval(fit_flops, N_PARTICLES * N_CLASSES)
+    mfu = None
+    if fpe:
+        achieved = fpe * headline
+        mfu = achieved / PEAK_FLOPS
+        log(f"model flops/eval = {fpe / 1e6:.1f} MF -> achieved "
+            f"{achieved / 1e12:.2f} TF/s, MFU = {mfu * 100:.1f}% of "
+            f"{PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak")
+
+    # continuity metric: the r01-style fp32 single-swarm workload
+    fit32 = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
+    run1 = jax.jit(lambda k: optimize(k, fit32, hp))
+    out = run1(keys("pso"))
+    jax.block_until_ready(out)
+    best1 = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        out = run1(jax.random.key(i))
+        jax.block_until_ready(out)
+        best1 = min(best1, time.time() - t0)
+    single32 = N_ITERATIONS * N_PARTICLES / best1
+    log(f"fp32 single-swarm 32p (r01 headline workload): {single32:.0f} evals/s")
+
+    return {
+        "headline_evals_per_sec": headline,
+        "gate_ok": gate_ok,
+        "gate_max_gbest_diff": gate_diff,
+        "mfu": mfu,
+        "flops_per_eval": fpe,
+        "fp32_batched_evals_per_sec": total_evals / wall32,
+        "bf16_batched_evals_per_sec": total_evals / wall16,
+        "fp32_single_swarm_evals_per_sec": single32,
+    }
 
 
 def main():
-    tpu_evals = measure_tpu()
-    log(f"tpu: {tpu_evals:.0f} evals/sec")
+    r = measure_tpu()
+    log(f"tpu flagship: {r['headline_evals_per_sec']:.0f} evals/sec "
+        f"(gate_ok={r['gate_ok']})")
     cpu_evals = measure_torch_cpu_baseline()
     log(f"torch cpu reference pattern: {cpu_evals:.1f} evals/sec")
     print(
         json.dumps(
             {
                 "metric": "pso_fitness_evals_per_sec_per_chip",
-                "value": round(tpu_evals, 1),
-                "unit": "evals/s (G fwd + ResNet50 fwd each, 32p x 50it dcgan_mnist)",
-                "vs_baseline": round(tpu_evals / cpu_evals, 1),
+                "value": round(r["headline_evals_per_sec"], 1),
+                "unit": "evals/s (G fwd + ResNet50 fwd each; 8-class batched "
+                        "32p x 50it dcgan_mnist, bf16 gated on fp32 g_best parity)",
+                "vs_baseline": round(r["headline_evals_per_sec"] / cpu_evals, 1),
+                "mfu": None if r["mfu"] is None else round(r["mfu"], 4),
+                "gate_ok": r["gate_ok"],
+                "gate_max_gbest_diff": round(r["gate_max_gbest_diff"], 6),
+                "fp32_batched_evals_per_sec": round(r["fp32_batched_evals_per_sec"], 1),
+                "bf16_batched_evals_per_sec": round(r["bf16_batched_evals_per_sec"], 1),
+                "fp32_single_swarm_evals_per_sec": round(
+                    r["fp32_single_swarm_evals_per_sec"], 1),
             }
         )
     )
