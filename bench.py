@@ -168,8 +168,8 @@ def measure_tpu() -> dict:
     )
     from gan_discovery_pso_tpu.ops.precision import fast_math
     from gan_discovery_pso_tpu.pso import (
+        make_batched_discovery_runner,
         make_discovery_fitness,
-        make_discovery_fitness_dynamic,
         optimize,
     )
 
@@ -183,26 +183,26 @@ def measure_tpu() -> dict:
     swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(N_CLASSES)])
     total_evals = N_CLASSES * N_PARTICLES * N_ITERATIONS
 
-    def batched_runner(dtype):
-        fit = make_discovery_fitness_dynamic(gp, gs, rp, rs, rdef, dtype=dtype)
+    def timed(dtype, label, reps=3):
+        """Drives the library's own flagship path
+        (pso.make_batched_discovery_runner, params as jit arguments)."""
+        run = make_batched_discovery_runner(rdef, hp, dtype=dtype)
 
-        def one(ci, key):
-            return optimize(key, lambda pos: fit(pos, ci), hp)
+        def call():
+            return run(swarm_keys, gp, gs, rp, rs, class_idxs)
 
-        if dtype is None:
-            return jax.jit(jax.vmap(one, in_axes=(0, 0)))
-        with fast_math():
-            return jax.jit(jax.vmap(one, in_axes=(0, 0)))
-
-    def timed(run, label, reps=3):
         t0 = time.time()
-        out = run(class_idxs, swarm_keys)
+        if dtype is None:
+            out = call()
+        else:
+            with fast_math():  # tracing happens on first call
+                out = call()
         jax.block_until_ready(out)
         log(f"{label}: compile+first run {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            out = run(class_idxs, swarm_keys)
+            out = call()
             jax.block_until_ready(out)
             best = min(best, time.time() - t0)
         g_best = np.asarray(out[0].g_best_val, np.float32)
@@ -211,9 +211,9 @@ def measure_tpu() -> dict:
         return best, g_best
 
     # fp32 batched (the parity path; also the gate's truth)
-    wall32, g32 = timed(batched_runner(None), "fp32 batched 8-class")
+    wall32, g32 = timed(None, "fp32 batched 8-class")
     # bf16 fast-math batched (the flagship candidate)
-    wall16, g16 = timed(batched_runner(jnp.bfloat16), "bf16 batched 8-class")
+    wall16, g16 = timed(jnp.bfloat16, "bf16 batched 8-class")
 
     gate_diff = float(np.max(np.abs(g32 - g16)))
     gate_ok = gate_diff <= 1e-3

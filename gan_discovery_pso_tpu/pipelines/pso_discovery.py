@@ -29,7 +29,6 @@ from gan_discovery_pso_tpu.pso import (
     OPTIMIZE_OUT,
     SwarmResult,
     make_discovery_fitness_dynamic,
-    optimize,
     save_particle_histories,
 )
 from gan_discovery_pso_tpu.analysis import reporting
@@ -182,31 +181,32 @@ def run_pso_discovery_batched(
     c2i = cnn_def.class_to_idx()
     idxs = jnp.asarray([c2i.get(c, 1) for c in classes], jnp.int32)
 
-    fitness_dyn = make_discovery_fitness_dynamic(
-        gen_params, gen_state, cnn_params, cnn_state, cnn_def,
-        control=control, threshold=threshold, dtype=fast_math_dtype,
-    )
-
     tb_writer = (
         ctx.metrics("img_pso", tensorboard=True) if tensorboard else None
     )
 
-    def one(ci, key):
-        return optimize(key, lambda pos: fitness_dyn(pos, ci), hp)
+    # params are jit ARGUMENTS (pso/runner.py): one compiled executable
+    # serves every model of the same shapes across sweeps
+    from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
 
-    if fast_math_dtype is not None:
-        from gan_discovery_pso_tpu.ops.precision import fast_math
-
-        with fast_math():
-            run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
-    else:
-        run = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+    run = make_batched_discovery_runner(
+        cnn_def, hp, control=control, threshold=threshold, dtype=fast_math_dtype
+    )
     keys = jnp.stack([
         ctx.keys.child(f"class_{label}")("pso") for label in classes
     ])
 
+    def call():
+        return run(keys, gen_params, gen_state, cnn_params, cnn_state, idxs)
+
     t0 = _time.time()
-    finals, hists, inits = run(idxs, keys)
+    if fast_math_dtype is not None:
+        from gan_discovery_pso_tpu.ops.precision import fast_math
+
+        with fast_math():  # tracing happens on first call — keep it inside
+            finals, hists, inits = call()
+    else:
+        finals, hists, inits = call()
     jax.block_until_ready(finals)
     wall = _time.time() - t0
 

@@ -29,6 +29,7 @@ from gan_discovery_pso_tpu.pso.io import (
     load_particle_trajectories,
 )
 from gan_discovery_pso_tpu.pso.runner import (
+    make_batched_discovery_runner,
     make_discovery_runner,
     make_inverter_runner,
 )

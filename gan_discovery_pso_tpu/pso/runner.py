@@ -52,6 +52,54 @@ def make_discovery_runner(
     return run
 
 
+def make_batched_discovery_runner(
+    cnn_def: ResNetDef,
+    hp: PsoConfig,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    dtype=None,
+):
+    """The flagship batched multi-class sweep with params as ARGUMENTS:
+    run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
+    → vmapped (finals, histories, inits) with a leading class axis.
+
+    One compile serves every model of the same shapes (the former vmapped
+    path in pipelines/pso_discovery.py closed over params and recompiled per
+    model). dtype=jnp.bfloat16 runs the model forwards in MXU-native
+    precision (cast once per call, fp32 swarm math) — wrap the first call in
+    ops.precision.fast_math() or rely on the cast params alone."""
+
+    @jax.jit
+    def run(keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs):
+        if dtype is not None:
+            cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+            gen_params_, gen_state_ = cast(gen_params), cast(gen_state)
+            cnn_params_, cnn_state_ = cast(cnn_params), cast(cnn_state)
+        else:
+            gen_params_, gen_state_ = gen_params, gen_state
+            cnn_params_, cnn_state_ = cnn_params, cnn_state
+
+        def one(key, class_idx):
+            def fitness(positions):
+                z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+                if dtype is not None:
+                    z = z.astype(dtype)
+                img = generator_forward(gen_params_, gen_state_, z)
+                img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
+                logits, _ = resnet_apply(
+                    cnn_params_, cnn_state_, img01, cnn_def, train=False
+                )
+                p = assessor_posterior(logits.astype(jnp.float32), class_idx)
+                return fitness_from_posterior(p, control, threshold, eps)
+
+            return optimize(key, fitness, hp)
+
+        return jax.vmap(one, in_axes=(0, 0))(keys, class_idxs)
+
+    return run
+
+
 def make_inverter_runner(
     cnn_def: ResNetDef,
     hp: PsoConfig,

@@ -282,6 +282,32 @@ def test_vqvae_and_analyses(roots, artifacts):
     assert (ctxD.run.reports_dir / "distance_summary.json").exists()
 
 
+def test_pso_discovery_sharded_full_artifact_contract(roots, artifacts):
+    """shard_devices=N runs through the SAME pipeline and emits the full
+    artifact set — timing.json, pickles, plots, per-iteration image grids —
+    that the default path emits (r01 left --shard-swarm on a reduced
+    CLI-only path)."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+
+    ctx = _ctx(roots, "pso_discovery_sharded")
+    results = run_pso_discovery(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0,), shard_devices=2,
+    )
+    res = results[0]
+    assert np.isfinite(float(res.g_best_val))
+    assert (ctx.run.reports_dir / "timing.json").exists()
+    assert (ctx.run.interim_dir / "particles_position_iid_class_0.pkl").exists()
+    assert (ctx.run.interim_dir / "particles_position_iic_class_0.pkl").exists()
+    assert (ctx.run.interim_dir / "particles_iid_class_0.npz").exists()
+    assert (ctx.run.reports_dir / "convergence_class_0.png").exists()
+    for it in range(1, 5):
+        assert (ctx.run.reports_dir / "training_plot" / "0"
+                / f"pso_images_{it}.png").exists()
+
+
 def test_pso_discovery_batched_matches_contract(roots, artifacts):
     """Batched (vmapped) multi-class discovery produces the same artifact
     contract and per-class results consistent with independent swarms."""

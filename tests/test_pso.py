@@ -329,3 +329,34 @@ def test_discovery_runner_reuses_compilation_across_models():
     assert float(outs[0].g_best_val) != float(outs[1].g_best_val)
     # single compilation: the jitted runner was traced exactly once
     assert runner._cache_size() == 1
+
+
+def test_batched_discovery_runner_reuses_compilation_and_matches_per_class():
+    """make_batched_discovery_runner (the flagship sweep): params as jit
+    arguments — one executable across models — and each class row equals an
+    independent single-swarm optimize with the same key."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.pso import (
+        make_batched_discovery_runner,
+        make_discovery_fitness,
+    )
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=3, n_particles=4, dim_space=8)
+    runner = make_batched_discovery_runner(rdef, hp)
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    keys = jnp.stack([jax.random.key(5), jax.random.key(6)])
+
+    for seed in (0, 1):
+        gp, gs = generator_init(jax.random.key(seed), GeneratorDef(8, 1, 8))
+        rp, rs = resnet_init(jax.random.key(seed + 10), rdef, init="glorot_normal")
+        finals, hists, inits = runner(keys, gp, gs, rp, rs, idxs)
+        for row, (ci, key) in enumerate(((0, keys[0]), (2, keys[1]))):
+            fit = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=ci)
+            ref_final, _, _ = optimize(key, fit, hp)
+            np.testing.assert_allclose(
+                float(jax.tree.map(lambda a: a[row], finals).g_best_val),
+                float(ref_final.g_best_val), rtol=1e-5,
+            )
+    assert runner._cache_size() == 1
