@@ -234,6 +234,29 @@ def measure_tpu() -> dict:
             f"{achieved / 1e12:.2f} TF/s, MFU = {mfu * 100:.1f}% of "
             f"{PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak")
 
+    # throughput mode: the inverter-sized 256-particle swarms, still 8-class
+    # batched (2048 fitness forwards per iteration) — the scaling-headroom
+    # number for production sweeps
+    hp256 = PsoConfig(n_iterations=N_ITERATIONS, n_particles=256, dim_space=DIM)
+    run_tp = make_batched_discovery_runner(rdef, hp256, dtype=jnp.bfloat16)
+
+    def call_tp():
+        return run_tp(swarm_keys, gp, gs, rp, rs, class_idxs)
+
+    with fast_math():
+        out = call_tp()
+    jax.block_until_ready(out)
+    best_tp = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = call_tp()
+        jax.block_until_ready(out)
+        best_tp = min(best_tp, time.time() - t0)
+    tp_evals = N_CLASSES * 256 * N_ITERATIONS / best_tp
+    tp_mfu = (fpe * tp_evals / PEAK_FLOPS) if fpe else None
+    log(f"throughput mode (8c x 256p bf16): {tp_evals:.0f} evals/s"
+        + (f", MFU {tp_mfu * 100:.1f}%" if tp_mfu else ""))
+
     # continuity metric: the r01-style fp32 single-swarm workload
     fit32 = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
     run1 = jax.jit(lambda k: optimize(k, fit32, hp))
@@ -257,6 +280,8 @@ def measure_tpu() -> dict:
         "fp32_batched_evals_per_sec": total_evals / wall32,
         "bf16_batched_evals_per_sec": total_evals / wall16,
         "fp32_single_swarm_evals_per_sec": single32,
+        "bf16_throughput_mode_evals_per_sec": tp_evals,
+        "throughput_mode_mfu": tp_mfu,
     }
 
 
@@ -281,6 +306,10 @@ def main():
                 "bf16_batched_evals_per_sec": round(r["bf16_batched_evals_per_sec"], 1),
                 "fp32_single_swarm_evals_per_sec": round(
                     r["fp32_single_swarm_evals_per_sec"], 1),
+                "bf16_throughput_mode_evals_per_sec": round(
+                    r["bf16_throughput_mode_evals_per_sec"], 1),
+                "throughput_mode_mfu": None if r["throughput_mode_mfu"] is None
+                else round(r["throughput_mode_mfu"], 4),
             }
         )
     )

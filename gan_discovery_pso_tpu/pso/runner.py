@@ -59,6 +59,7 @@ def make_batched_discovery_runner(
     threshold: float = 0.0,
     eps: float = 0.1,
     dtype=None,
+    unroll: int = 1,
 ):
     """The flagship batched multi-class sweep with params as ARGUMENTS:
     run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
@@ -93,7 +94,7 @@ def make_batched_discovery_runner(
                 p = assessor_posterior(logits.astype(jnp.float32), class_idx)
                 return fitness_from_posterior(p, control, threshold, eps)
 
-            return optimize(key, fitness, hp)
+            return optimize(key, fitness, hp, unroll=unroll)
 
         return jax.vmap(one, in_axes=(0, 0))(keys, class_idxs)
 

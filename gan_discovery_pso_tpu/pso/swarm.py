@@ -228,6 +228,7 @@ def optimize(
     init_state: SwarmState | None = None,
     n_iterations: int | None = None,
     use_pallas: bool = False,
+    unroll: int = 1,
 ) -> tuple[SwarmState, PsoHistory]:
     """Full swarm optimization as ONE jitted device program.
 
@@ -280,12 +281,17 @@ def optimize(
         )
         return out_state, rec
 
-    final_state, history = jax.lax.scan(step, state0, None, length=n_iters)
+    # unroll>1 trades program size for less loop bookkeeping; semantics are
+    # identical (the RNG folds in the state's own iteration counter)
+    final_state, history = jax.lax.scan(
+        step, state0, None, length=n_iters, unroll=unroll
+    )
     return final_state, history, state0
 
 
 optimize_jit = jax.jit(
-    optimize, static_argnames=("fitness_fn", "hp", "n_iterations", "use_pallas")
+    optimize,
+    static_argnames=("fitness_fn", "hp", "n_iterations", "use_pallas", "unroll"),
 )
 
 

@@ -1,0 +1,91 @@
+"""CLI surface tests for the host-side stages (the compute-heavy legs are
+exercised via the pipelines API in test_pipeline_e2e.py; the full CLI chain
+runs on real hardware in the verify drives)."""
+
+import json
+
+import numpy as np
+from PIL import Image
+
+from gan_discovery_pso_tpu.cli.main import main
+from gan_discovery_pso_tpu.data.xlsx import write_xlsx
+from gan_discovery_pso_tpu.pso.io import save_particle_histories
+
+
+def test_cli_claro_preprocess_end_to_end(tmp_path):
+    """`claro-preprocess` runs from config + manifests with no extra args
+    (reference src/data/dataset_preparation.py driver)."""
+    dataset = "claro_prospettivo"
+    rng = np.random.RandomState(0)
+    slice_ids = []
+    for pid in ("PAT1", "PAT2"):
+        d = tmp_path / "raw" / dataset / pid / "images"
+        d.mkdir(parents=True)
+        for s in range(2):
+            sid = f"{pid}_{s}"
+            Image.fromarray(
+                rng.uniform(-1500, 1500, (64, 64)).astype(np.float32)
+            ).save(d / f"{sid}.tif")
+            slice_ids.append(sid)
+    interim_ds = tmp_path / "interim" / dataset
+    interim_ds.mkdir(parents=True)
+    write_xlsx(interim_ds / f"patients_info_{dataset}.xlsx",
+               {"image": [f"imgs/{sid}.tif" for sid in slice_ids]})
+    write_xlsx(tmp_path / "boxes.xlsx",
+               {"img ID": slice_ids, "max_box": ["[10, 12, 50, 44]"] * 4})
+
+    rc = main([
+        "claro-preprocess", "--cfg", "configs/claro_preprocess.yaml", "--set",
+        f"data.data_dir={tmp_path / 'raw'}",
+        f"data.interim_dir={tmp_path / 'interim'}",
+        f"data.model_dir={tmp_path / 'models'}",
+        f"data.reports_dir={tmp_path / 'reports'}",
+        "data.image_size=32",
+        f"data.box_file={tmp_path / 'boxes.xlsx'}",
+        "data.box_value=max_box",
+    ])
+    assert rc == 0
+    runs = list((tmp_path / "interim" / dataset).glob("*claro_preprocess"))
+    assert runs and len(list((runs[0] / "stylegan").glob("*.tif"))) == 4
+
+
+def test_cli_pso_inverter_analysis(tmp_path):
+    rng = np.random.RandomState(1)
+    iid_dir = tmp_path / "iid"
+    ood_dir = tmp_path / "ood"
+    for label, off in ((0, -4.0), (2, 4.0)):
+        traj = rng.randn(3, 12, 5).astype(np.float32) + off
+        save_particle_histories(iid_dir, label, traj, np.zeros_like(traj), "iid")
+    ood = rng.randn(3, 9, 5).astype(np.float32) - 4.0
+    save_particle_histories(ood_dir, 1, ood, np.zeros_like(ood), "ood")
+
+    rc = main([
+        "pso-inverter-analysis", "--cfg", "configs/dcgan_mnist.yaml",
+        "--path-pso", str(iid_dir), "--path-ood-pso", str(ood_dir),
+        "--ood-patient", "1", "--set",
+        f"data.data_dir={tmp_path / 'raw'}",
+        f"data.interim_dir={tmp_path / 'interim'}",
+        f"data.model_dir={tmp_path / 'models'}",
+        f"data.reports_dir={tmp_path / 'reports'}",
+        "data.iid_classes=[0, 2]",
+    ])
+    assert rc == 0
+    reports = list((tmp_path / "reports").glob(
+        "mnist/*pso_inverter_analysis/ood_patient_1_cluster_assignment.json"))
+    assert reports
+    rep = json.loads(reports[0].read_text())
+    assert rep["n_ood_latents"] == 9
+    # the OoD cloud sits on class 0's side -> one dominant cluster
+    assert len(rep["cluster_counts"]) == 1
+
+
+def test_cli_pso_inverter_analysis_requires_paths(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["pso-inverter-analysis", "--cfg", "configs/dcgan_mnist.yaml",
+              "--set",
+              f"data.data_dir={tmp_path / 'raw'}",
+              f"data.interim_dir={tmp_path / 'interim'}",
+              f"data.model_dir={tmp_path / 'models'}",
+              f"data.reports_dir={tmp_path / 'reports'}"])
