@@ -55,9 +55,11 @@ def _smooth_knn(dists: np.ndarray, k: int, n_iter: int = 64):
     """Per-point (rho, sigma): rho = nearest nonzero-neighbor distance,
     sigma solved by bisection for sum_j exp(-(d_j − rho)^+ / sigma) = log2(k)."""
     n = dists.shape[0]
-    # nearest strictly-positive distance (duplicated points give d=0 rows)
+    # nearest strictly-positive distance (duplicated points give d=0 in
+    # leading columns — take the row MINIMUM over the masked matrix, not
+    # column 0); rows with no positive neighbor at all get rho=0
     pos = np.where(dists > 0, dists, np.inf)
-    rho = pos[:, 0].copy()
+    rho = pos.min(axis=1)
     rho[~np.isfinite(rho)] = 0.0
     target = np.log2(k)
 
@@ -133,7 +135,7 @@ class UMAP:
     # -- layout --------------------------------------------------------------
 
     def _optimize(self, init: np.ndarray, edges, n_epochs: int, key_seed: int,
-                  move_tail: bool = True, n_fixed: int = 0,
+                  move_tail: bool = True,
                   fixed_ref: np.ndarray | None = None):
         """Vectorized SGD layout as one jitted lax.scan over epochs.
 
@@ -184,8 +186,6 @@ class UMAP:
             rep = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
             g_rep = clip4(rep[:, :, None] * diffn) * active[:, None, None]
             y = y.at[heads].add(alpha * jnp.sum(g_rep, axis=1))
-            if n_fixed:
-                y = y.at[jnp.arange(n_fixed)].set(y0[:n_fixed])
             return y, None
 
         run = jax.jit(lambda y: jax.lax.scan(epoch, y, jnp.arange(n_epochs))[0])

@@ -39,8 +39,14 @@ def read_xlsx(path: str | Path) -> dict[str, list]:
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheet_name = next(
-            n for n in zf.namelist() if re.match(r"xl/worksheets/sheet\d+\.xml", n)
+        # lowest-numbered sheet, not zip-entry order (multi-sheet workbooks
+        # may store entries in arbitrary order)
+        sheets = [n for n in zf.namelist()
+                  if re.match(r"xl/worksheets/sheet\d+\.xml$", n)]
+        if not sheets:
+            raise ValueError(f"no worksheet found in {path}")
+        sheet_name = min(
+            sheets, key=lambda n: int(re.search(r"sheet(\d+)\.xml$", n).group(1))
         )
         root = ET.fromstring(zf.read(sheet_name))
 

@@ -14,6 +14,7 @@ device run — asserted in tests/test_parallel.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -92,6 +93,50 @@ def make_sharded_optimize(
         return seeded(key, init_positions)
 
     return run_seeded
+
+
+def make_sharded_discovery_runner(
+    mesh: Mesh,
+    cnn_def,
+    hp: PsoConfig,
+    control: str = "optimize_out_training",
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    axis: str = "swarm",
+):
+    """Sharded discovery with params as ARGUMENTS (pso/runner.py pattern):
+    run(key, gen_params, gen_state, cnn_params, cnn_state, class_idx) →
+    (final_state, history, init_state) with the particle axis sharded over
+    `mesh`. ONE compile serves every class and every model of the same
+    shapes — a per-class closure over make_sharded_optimize would pay one
+    full XLA compile per class."""
+    from gan_discovery_pso_tpu.models.dcgan import generator_forward
+    from gan_discovery_pso_tpu.models.resnet import resnet_apply
+    from gan_discovery_pso_tpu.ops import rescale01_per_sample
+    from gan_discovery_pso_tpu.pso.fitness import (
+        assessor_posterior,
+        fitness_from_posterior,
+    )
+
+    out_shardings = (
+        swarm_state_sharding(mesh, axis),
+        history_sharding(mesh, axis),
+        swarm_state_sharding(mesh, axis),
+    )
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def run(key, gen_params, gen_state, cnn_params, cnn_state, class_idx):
+        def fitness(positions):
+            z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+            img = generator_forward(gen_params, gen_state, z)
+            img01 = rescale01_per_sample(img)
+            logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+            p = assessor_posterior(logits, class_idx)
+            return fitness_from_posterior(p, control, threshold, eps)
+
+        return optimize(key, fitness, hp)
+
+    return run
 
 
 def make_multi_swarm_optimize(

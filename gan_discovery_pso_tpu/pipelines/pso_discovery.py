@@ -92,29 +92,27 @@ def run_pso_discovery(
     tb_writer = (
         ctx.metrics("img_pso", tensorboard=True) if tensorboard else None
     )
-    mesh = None
+    run_sharded = None
     if shard_devices:
-        from gan_discovery_pso_tpu.parallel import make_mesh
+        from gan_discovery_pso_tpu.parallel import (
+            make_mesh,
+            make_sharded_discovery_runner,
+        )
 
-        mesh = make_mesh(shard_devices, "swarm")
+        # params + class_idx are jit arguments: ONE compile for all classes
+        run_sharded = make_sharded_discovery_runner(
+            make_mesh(shard_devices, "swarm"), cnn_def, hp,
+            control=control, threshold=threshold,
+        )
     for label in classes:
         t0 = time.time()
         fitness = lambda pos, ci=c2i.get(label, 1): fitness_dyn(pos, ci)
         key = ctx.keys.child(f"class_{label}")("pso")
-        if mesh is not None:
-            from gan_discovery_pso_tpu.parallel import make_sharded_optimize
-            from gan_discovery_pso_tpu.pso import make_discovery_fitness
-
-            fitness_cls = make_discovery_fitness(
-                gen_params, gen_state, cnn_params, cnn_state, cnn_def,
-                class_idx=c2i.get(label, 1), control=control, threshold=threshold,
-            )
-            final, hist, init = make_sharded_optimize(mesh, fitness_cls, hp)(key)
-        else:
-            final, hist, init = run(
-                key, gen_params, gen_state, cnn_params, cnn_state,
-                jnp.asarray(c2i.get(label, 1), jnp.int32),
-            )
+        runner = run_sharded if run_sharded is not None else run
+        final, hist, init = runner(
+            key, gen_params, gen_state, cnn_params, cnn_state,
+            jnp.asarray(c2i.get(label, 1), jnp.int32),
+        )
         jax.block_until_ready(final)
         res = SwarmResult(final, hist, init, hp)
         results[label] = res
@@ -252,6 +250,7 @@ def render_swarm_grids(
     label,
     writer=None,
     ncols: int = 8,
+    tag: str | None = None,
 ):
     """Per-iteration generated-image grids, rendered POST-HOC.
 
@@ -286,9 +285,11 @@ def render_swarm_grids(
             )
         )
         if writer is not None:
-            # reference tags the grid "Real" (util_pso.py:133)
+            # reference tags the grid "Real" in a PER-CLASS writer
+            # (util_pso.py:70,133); one shared writer here, so the class
+            # goes into the tag to keep the streams from colliding
             writer.add_image(
-                "Real",
+                tag if tag is not None else f"Real/class_{label}",
                 reporting.grid_canvas(imgs[i], ncols=ncols, drange=(-1, 1)),
                 step=i + 1,
             )

@@ -248,9 +248,11 @@ def run_dcgan(
         reporting.image_grid(
             np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{epoch + offset}.png"
         )
-        # real/fake grids to TensorBoard (reference util_dcgan.py:285-297)
+        # real/fake grids to TensorBoard (reference util_dcgan.py:285-297).
+        # sampler output is already per-sample rescaled to [0,1]
+        # (train/dcgan.py make_sampler); real batches are in drange (-1,1)
         mw.add_image(
-            "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(-1, 1)),
+            "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(0, 1)),
             step=epoch + offset,
         )
         mw.add_image(

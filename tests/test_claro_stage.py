@@ -120,6 +120,48 @@ def test_xlsx_roundtrip(tmp_path):
     assert got_csv["img ID"] == cols["img ID"]
 
 
+def test_xlsx_multisheet_picks_lowest_numbered_sheet(tmp_path):
+    """Sheet selection must follow sheet numbering, not zip-entry order."""
+    import zipfile
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    # start from a valid single-sheet file, then inject a DECOY sheet2 whose
+    # zip entry comes FIRST
+    p = write_xlsx(tmp_path / "m.xlsx", {"img ID": ["right"]})
+    decoy = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>img ID</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>WRONG</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    src = zipfile.ZipFile(p)
+    out = tmp_path / "multi.xlsx"
+    with zipfile.ZipFile(out, "w") as zf:
+        zf.writestr("xl/worksheets/sheet2.xml", decoy)  # first zip entry
+        for item in src.namelist():
+            zf.writestr(item, src.read(item))
+    src.close()
+    got = read_xlsx(out)
+    assert got["img ID"] == ["right"]
+
+
+def test_umap_smooth_knn_rho_skips_duplicate_neighbors():
+    """rho is the nearest STRICTLY-positive distance even when duplicate
+    points put zeros in the leading kNN columns."""
+    from gan_discovery_pso_tpu.data import medical  # noqa: F401 (import check)
+    from gan_discovery_pso_tpu.analysis.umap_impl import _smooth_knn
+
+    dists = np.array([[0.0, 0.5, 1.0],   # duplicate nearest neighbor
+                      [0.2, 0.4, 0.9],   # normal row
+                      [0.0, 0.0, 0.0]],  # all duplicates -> rho 0
+                     np.float64)
+    rho, sigma = _smooth_knn(dists, k=3)
+    np.testing.assert_allclose(rho, [0.5, 0.2, 0.0])
+    assert np.all(sigma > 0)
+
+
 def test_sliding_window_dataset_mat_and_png(tmp_path):
     """DatasetSlidingWindowClaro/Aerts parity (reference util_data.py:358-420):
     manifest rows → {id}_{slice}.mat under the flavor's directory layout,
