@@ -213,10 +213,18 @@ def run_dcgan(
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
     best_is, best_epoch, best_state = 0.0, offset, state
     fixed_noise_key = ctx.keys("fixed_noise")
+    # RNG keyed by ABSOLUTE (epoch, step), not by stateful call counters:
+    # a killed-and-resumed run replays the exact tail of the single-shot
+    # trajectory (SURVEY §5.3/5.4 deterministic restart; the reference only
+    # resumes at epoch granularity with unsaved torch RNG state)
+    step_base = ctx.keys.peek("gan_step")
+    eval_base = ctx.keys.peek("gan_eval")
 
     for epoch in range(epochs):
-        for x, _y in ctx.batches(ds, bs)(epoch):
-            state, m = step(state, x, ctx.keys("gan_step"))
+        ep = epoch + offset
+        for i, (x, _y) in enumerate(ctx.batches(ds, bs)(ep)):
+            k = jax.random.fold_in(jax.random.fold_in(step_base, ep), i)
+            state, m = step(state, x, k)
             history["loss_gen"].append(float(m["loss_gen"]))
             history["loss_disc"].append(float(m["loss_disc"]))
 
@@ -225,7 +233,7 @@ def run_dcgan(
 
         # eval phase (reference :240-270)
         res = evaluate_gan_epoch(
-            ctx.keys("gan_eval"), sampler, state.gen_params, state.gen_state,
+            jax.random.fold_in(eval_base, ep), sampler, state.gen_params, state.gen_state,
             cae_state.enc_params, cae_state.enc_state,
             cae_state.dec_params, cae_state.dec_state,
             battery, val.images, n_synthetic=n_synthetic,

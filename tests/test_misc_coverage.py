@@ -81,12 +81,20 @@ def test_metrics_writer_tensorboard_sink(tmp_path):
     mw = MetricsWriter(tmp_path, "m", tensorboard=True)
     mw.append(0, loss=1.5)
     mw.append(1, loss=1.0)
+    # image sink (reference logs real/fake/pso grids, util_dcgan.py:285-297)
+    mw.add_image("Real", np.random.RandomState(0).rand(1, 8, 8), step=0)
     assert mw.history()["loss"] == [1.5, 1.0]
     mw.close()
     assert (tmp_path / "m.csv").exists()
     # TB event files written when torch tensorboard is available
     tb_files = list((tmp_path / "logs" / "m").rglob("events.*"))
     assert tb_files, "tensorboard sink produced no event files"
+
+
+def test_metrics_writer_add_image_noop_without_tb(tmp_path):
+    mw = MetricsWriter(tmp_path, "n", tensorboard=False)
+    mw.add_image("Real", np.zeros((1, 4, 4)), step=0)  # must not raise
+    mw.close()
 
 
 def test_timed_and_throughput():

@@ -382,6 +382,36 @@ def test_dcgan_resume_restores_history_and_epoch(roots, artifacts):
     assert saved["epoch"] == 1  # offset applied
 
 
+def test_dcgan_kill_and_resume_bit_identical(roots, artifacts):
+    """Per-step RNG is keyed by ABSOLUTE (epoch, step), so a killed-and-
+    resumed training run replays the single-shot tail exactly (SURVEY
+    §5.3/5.4; the reference resumes only at epoch granularity with unsaved
+    torch RNG state)."""
+    _ctx1, cae_state, _ = artifacts["cae"]
+    _ctx2, battery = artifacts["classifiers"]
+
+    # single shot: 2 epochs
+    ctxA = _ctx(roots, "dcgan_singleshot")
+    stateA, _ = run_dcgan(ctxA, cae_state, battery, epochs=2, n_synthetic=64)
+
+    # "killed" after 1 epoch ...
+    ctxB = _ctx(roots, "dcgan_killed")
+    run_dcgan(ctxB, cae_state, battery, epochs=1, n_synthetic=64)
+    # ... and resumed in a FRESH context against the same run dir
+    ctxB2 = _ctx(roots, "dcgan_killed_resume")
+    ctxB2.run = ctxB.run
+    ctxB2.ckpt = ctxB.ckpt
+    run_dcgan(ctxB2, cae_state, battery, epochs=1, n_synthetic=64, resume=True)
+
+    # compare the LAST-epoch checkpoints (the returned value is best-by-IS,
+    # whose tracking legitimately restarts on resume)
+    lastA = ctxA.ckpt.load("checkpoint_g.msgpack")
+    lastB = ctxB2.ckpt.load("checkpoint_g.msgpack")
+    assert lastA["epoch"] == lastB["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(lastA["state"]), jax.tree.leaves(lastB["state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pso_inverter_try_load_skips_finetune(roots, artifacts):
     """A pre-existing model_{patient} checkpoint short-circuits phase 1
     (reference pso_inverter.py:224-231)."""
