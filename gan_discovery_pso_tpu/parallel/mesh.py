@@ -42,8 +42,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def distributed_initialize_if_needed() -> None:
-    """Multi-host entry hook: call before building meshes on a multi-host
-    pod slice. No-op in single-process settings (this dev/test image)."""
-    if jax.process_count() > 1:  # pragma: no cover - multi-host only
-        return  # already initialized by the launcher
+def distributed_initialize_if_needed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host entry hook: initialize jax.distributed before building
+    meshes on a multi-host topology. Returns True when running multi-host.
+
+    Configuration comes from the arguments or, when omitted, the
+    GDPT_COORDINATOR / GDPT_NUM_PROCESSES / GDPT_PROCESS_ID environment
+    variables (on Cloud TPU pods jax.distributed auto-discovers instead —
+    pass coordinator_address="" to force the autodetect path). Single
+    process with no configuration → no-op, False.
+
+    Validated end-to-end by the two-process CPU multi-host smoke
+    (tests/test_multihost.py, marked slow): global 8-device mesh across
+    two OS processes, cross-process collectives included."""
+    import os
+
+    # Detect an existing jax.distributed client WITHOUT touching the
+    # backend: jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize() raises.
+    try:
+        from jax._src import distributed as _distributed
+
+        already = _distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        already = jax.process_count() > 1
+    if already:
+        return True
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("GDPT_COORDINATOR")
+    if coordinator_address is None:
+        return False
+    if num_processes is None:
+        num_processes = int(os.environ["GDPT_NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["GDPT_PROCESS_ID"])
+    if coordinator_address == "":
+        jax.distributed.initialize()  # pragma: no cover - pod autodetect
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count() > 1
