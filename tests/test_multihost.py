@@ -48,6 +48,32 @@ WORKER = textwrap.dedent(
     jax.block_until_ready(final)
     # g_best_val is fully replicated -> addressable from every process
     print(f"MH_RESULT pid={pid} g_best={float(final.g_best_val):.8f}", flush=True)
+
+    # data-parallel GAN train step: batch sharded ACROSS PROCESSES, params
+    # replicated, gradient all-reduce rides the cross-process collectives
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gan_discovery_pso_tpu.core.config import AdamConfig
+    from gan_discovery_pso_tpu.models import DiscriminatorDef, GeneratorDef
+    from gan_discovery_pso_tpu.train.dcgan import gan_init, make_gan_train_step
+
+    dmesh = make_mesh(8, "data")
+    gdef, ddef = GeneratorDef(z_dim=8, features_g=8), DiscriminatorDef(features_d=8)
+    adam = AdamConfig(lr=1e-3, beta1=0.5, beta2=0.99)
+    state, _ = gan_init(jax.random.key(0), gdef, ddef, adam)
+    state = jax.device_put(state, jax.tree.map(
+        lambda _: NamedSharding(dmesh, P()), state))
+    # every process owns HALF the global batch (deterministic, pid-seeded)
+    local = np.random.RandomState(100 + pid).rand(8, 1, 28, 28) * 2 - 1
+    real = jax.make_array_from_process_local_data(
+        NamedSharding(dmesh, P("data")), jnp.asarray(local, jnp.float32), (16, 1, 28, 28))
+    step = jax.jit(make_gan_train_step(gdef, adam))
+    state, metrics = step(state, real, jax.random.key(1))
+    jax.block_until_ready(metrics)
+    print(f"MH_GAN pid={pid} loss_gen={float(metrics['loss_gen']):.8f} "
+          f"loss_disc={float(metrics['loss_disc']):.8f}", flush=True)
     """
 )
 
@@ -73,13 +99,18 @@ def test_two_process_sharded_swarm(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
-    vals = []
+    vals, gan_losses = [], []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("MH_RESULT")]
         assert line, out[-2000:]
         vals.append(float(line[0].split("g_best=")[1]))
+        gline = [ln for ln in out.splitlines() if ln.startswith("MH_GAN")]
+        assert gline, out[-2000:]
+        gan_losses.append(gline[0].split("pid=")[1].split(" ", 1)[1])
     # both processes observe the same replicated global best ...
     assert vals[0] == vals[1]
+    # ... and identical replicated DP-GAN losses (grad psums crossed DCN)
+    assert gan_losses[0] == gan_losses[1]
 
     # ... and it matches the single-process single-device trajectory
     import jax
