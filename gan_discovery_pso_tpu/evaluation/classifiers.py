@@ -45,16 +45,20 @@ def train_classifier_battery(
     return KnnBattery(train_x=x, train_labels=y, classes=classes, k=k)
 
 
-def compute_posterior(battery: KnnBattery, encoding: jax.Array) -> jax.Array:
+def compute_posterior(
+    battery: KnnBattery, encoding: jax.Array, chunk_size: int = 4096
+) -> jax.Array:
     """p_yx [N, C] — column c = P(class_c | image) from the one-vs-all KNN
     (util_classifiers.py:35-55), all classifiers sharing one distance
-    matrix."""
+    matrix; query chunking bounds the matrix's HBM footprint at production
+    eval sizes (bit-identical results)."""
     return knn_battery_posterior(
         jnp.asarray(encoding, jnp.float32),
         battery.train_x,
         battery.train_labels,
         battery.classes,
         k=battery.k,
+        chunk_size=chunk_size,
     )
 
 

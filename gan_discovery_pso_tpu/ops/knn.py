@@ -48,15 +48,33 @@ def knn_battery_posterior(
     train_x: jax.Array,
     train_labels: jax.Array,
     classes: jax.Array,
-    k: int = 3,
+    k: int = 5,
+    chunk_size: int | None = None,
 ) -> jax.Array:
     """Posterior matrix p_yx [Nq, n_classes]: column c is the one-vs-all KNN
     probability for class `classes[c]` — the same battery the reference fits
-    per class (util_classifiers.py:22-31), but sharing ONE distance matrix
-    across every classifier since they all use the same train embeddings."""
-    d = pairwise_sq_dists(queries, train_x)
-    _, idx = jax.lax.top_k(-d, k)  # [Nq, k]
-    neigh_labels = jnp.take(train_labels, idx)  # [Nq, k]
-    # [Nq, k, C] one-hot over battery classes, averaged over k.
-    onehot = (neigh_labels[:, :, None] == classes[None, None, :]).astype(jnp.float32)
-    return jnp.mean(onehot, axis=1)
+    per class (src/training/classifiers.py:166-184), but sharing ONE
+    distance matrix across every classifier since they all use the same
+    train embeddings.
+
+    chunk_size bounds HBM: the [Nq, Ntrain] distance matrix is materialized
+    one query-chunk at a time via lax.map (e.g. real-MNIST eval is
+    12,800 × 48,000 ≈ 2.4 GB unchunked; chunk_size=2048 caps it at ~390 MB)
+    with bit-identical results."""
+    if chunk_size is None or queries.shape[0] <= chunk_size:
+        d = pairwise_sq_dists(queries, train_x)
+        _, idx = jax.lax.top_k(-d, k)  # [Nq, k]
+        neigh_labels = jnp.take(train_labels, idx)  # [Nq, k]
+        # [Nq, k, C] one-hot over battery classes, averaged over k.
+        onehot = (neigh_labels[:, :, None] == classes[None, None, :]).astype(jnp.float32)
+        return jnp.mean(onehot, axis=1)
+
+    n = queries.shape[0]
+    pad = (-n) % chunk_size
+    padded = jnp.pad(queries, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, chunk_size, queries.shape[1])
+    out = jax.lax.map(
+        lambda q: knn_battery_posterior(q, train_x, train_labels, classes, k=k),
+        chunks,
+    )
+    return out.reshape(-1, classes.shape[0])[:n]

@@ -79,6 +79,24 @@ def test_cli_pso_inverter_analysis(tmp_path):
     assert len(rep["cluster_counts"]) == 1
 
 
+def test_cli_latent_dim_sweep(tmp_path):
+    """The latent-dim sweep driver (reference start.sh:11-36): one
+    independent run dir per (dim, stage) leg."""
+    rc = main([
+        "sweep", "--latent-dims", "4", "6", "--stages", "cae",
+        "--tiny", "--limit", "96", "--set", "trainer_ae.batch_size=32",
+        f"data.data_dir={tmp_path / 'raw'}",
+        f"data.interim_dir={tmp_path / 'interim'}",
+        f"data.model_dir={tmp_path / 'models'}",
+        f"data.reports_dir={tmp_path / 'reports'}",
+    ])
+    assert rc == 0
+    runs = sorted((tmp_path / "models" / "mnist").glob("*--cae"))
+    assert len(runs) == 2  # one leg per latent dim
+    for r in runs:
+        assert (r / "encoder.msgpack").exists()
+
+
 def test_cli_pso_inverter_analysis_requires_paths(tmp_path):
     import pytest
 

@@ -69,3 +69,13 @@ def test_knn_battery_matches_sklearn_battery():
         )
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    # query chunking (HBM-bounded eval) is bit-identical, incl. the padded
+    # final chunk (23 = 2*8 + 7)
+    chunked = np.asarray(
+        knn_battery_posterior(
+            jnp.array(queries), jnp.array(train_x), jnp.array(train_labels),
+            jnp.array(classes), k=3, chunk_size=8,
+        )
+    )
+    np.testing.assert_array_equal(chunked, got)
