@@ -27,10 +27,16 @@ def save_pytree(path: str | Path, tree: Any) -> Path:
 
     NamedTuples (e.g. BatchNormStats, optax states) are flattened to plain
     dicts keyed by field name; loaders restore their concrete types
-    (ops.BatchNormStats has a `{mean, var}` signature loaders match on)."""
+    (ops.BatchNormStats has a `{mean, var}` signature loaders match on).
+
+    Multi-host safe: arrays sharded across processes are allgathered (a
+    collective — every process must call save_pytree), and only process 0
+    writes the file."""
     path = Path(path)
+    host_tree = _plainify(tree)  # allgathers non-addressable shards
+    if jax.process_index() != 0:  # single writer on multi-host
+        return path
     path.parent.mkdir(parents=True, exist_ok=True)
-    host_tree = _plainify(tree)
     blob = serialization.msgpack_serialize(host_tree)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
@@ -53,6 +59,10 @@ def load_pytree(path: str | Path, target: Any = None) -> Any:
 
 def _to_host(x):
     if isinstance(x, jax.Array):
+        if not x.is_fully_addressable:  # sharded across processes
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
         return np.asarray(x)
     return x
 

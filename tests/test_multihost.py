@@ -49,6 +49,18 @@ WORKER = textwrap.dedent(
     # g_best_val is fully replicated -> addressable from every process
     print(f"MH_RESULT pid={pid} g_best={float(final.g_best_val):.8f}", flush=True)
 
+    # multi-host checkpoint: positions are sharded ACROSS PROCESSES
+    # (not fully addressable); save_pytree allgathers and process 0 writes
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree, save_pytree
+
+    ckpt = os.path.join(sys.argv[3], "swarm_mh.msgpack")
+    save_pytree(ckpt, final._asdict())
+    if jax.process_index() == 0:
+        plain = load_pytree(ckpt)
+        assert plain["positions"].shape == (16, 4), plain["positions"].shape
+        assert abs(float(plain["g_best_val"]) - float(final.g_best_val)) < 1e-12
+        print(f"MH_CKPT pid={pid} ok", flush=True)
+
     # data-parallel GAN train step: batch sharded ACROSS PROCESSES, params
     # replicated, gradient all-reduce rides the cross-process collectives
     import numpy as np
@@ -89,8 +101,10 @@ def test_two_process_sharded_swarm(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = f"{Path.cwd()}:{env.get('PYTHONPATH', '')}"
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
     procs = [
-        subprocess.Popen([sys.executable, str(worker), str(i), coord],
+        subprocess.Popen([sys.executable, str(worker), str(i), coord, str(ckpt_dir)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          env=env, text=True)
         for i in range(2)
@@ -111,6 +125,9 @@ def test_two_process_sharded_swarm(tmp_path):
     assert vals[0] == vals[1]
     # ... and identical replicated DP-GAN losses (grad psums crossed DCN)
     assert gan_losses[0] == gan_losses[1]
+    # cross-process-sharded state checkpointed once, full-shape, reloadable
+    assert any("MH_CKPT" in out for out in outs)
+    assert (tmp_path / "ckpt" / "swarm_mh.msgpack").exists()
 
     # ... and it matches the single-process single-device trajectory
     import jax
