@@ -46,14 +46,19 @@ def train_classifier_battery(
 
 
 def compute_posterior(
-    battery: KnnBattery, encoding: jax.Array, chunk_size: int = 4096
+    battery: KnnBattery, encoding: jax.Array, chunk_size: int | str = "auto"
 ) -> jax.Array:
     """p_yx [N, C] — column c = P(class_c | image) from the one-vs-all KNN
     (util_classifiers.py:35-55), all classifiers sharing one distance
-    matrix; query chunking bounds the matrix's HBM footprint at production
-    eval sizes (bit-identical results)."""
+    matrix. chunk_size='auto' keeps the fast single-matrix path until the
+    [Nq, Ntrain] distance matrix would exceed ~512 MB, then switches to
+    query chunking (bit-identical results, bounded HBM)."""
+    encoding = jnp.asarray(encoding, jnp.float32)
+    if chunk_size == "auto":
+        entries = encoding.shape[0] * battery.train_x.shape[0]
+        chunk_size = 4096 if entries > 128_000_000 else None
     return knn_battery_posterior(
-        jnp.asarray(encoding, jnp.float32),
+        encoding,
         battery.train_x,
         battery.train_labels,
         battery.classes,
