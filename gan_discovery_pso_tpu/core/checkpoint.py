@@ -30,20 +30,26 @@ def save_pytree(path: str | Path, tree: Any) -> Path:
     (ops.BatchNormStats has a `{mean, var}` signature loaders match on).
 
     Multi-host safe: arrays sharded across processes are allgathered (a
-    collective — every process must call save_pytree), and only process 0
-    writes the file."""
+    collective — every process must call save_pytree), only process 0
+    writes the file, and a global barrier after the write prevents
+    read-after-save races (a resume on a shared filesystem sees either the
+    complete file on every process or on none)."""
     path = Path(path)
     host_tree = _plainify(tree)  # allgathers non-addressable shards
-    if jax.process_index() != 0:  # single writer on multi-host
-        return path
-    path.parent.mkdir(parents=True, exist_ok=True)
-    blob = serialization.msgpack_serialize(host_tree)
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(blob)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)  # atomic on POSIX
+    multi = jax.process_count() > 1
+    if not multi or jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        blob = serialization.msgpack_serialize(host_tree)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic on POSIX
+    if multi:  # every process enters the barrier, writer last
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"save_pytree:{path.name}")
     return path
 
 

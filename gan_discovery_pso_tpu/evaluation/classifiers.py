@@ -55,8 +55,14 @@ def compute_posterior(
     query chunking (bit-identical results, bounded HBM)."""
     encoding = jnp.asarray(encoding, jnp.float32)
     if chunk_size == "auto":
-        entries = encoding.shape[0] * battery.train_x.shape[0]
-        chunk_size = 4096 if entries > 128_000_000 else None
+        n_train = max(int(battery.train_x.shape[0]), 1)
+        entries = encoding.shape[0] * n_train
+        if entries > 128_000_000:
+            # derive from Ntrain so each chunk's matrix stays ≤ ~512 MB
+            # regardless of the training-set size
+            chunk_size = max(128, 128_000_000 // n_train)
+        else:
+            chunk_size = None
     return knn_battery_posterior(
         encoding,
         battery.train_x,

@@ -1,14 +1,17 @@
 """Vectorized K-nearest-neighbour posterior on device.
 
 The reference's "Inception" classifier battery is a dict of sklearn
-`KNeighborsClassifier(n_neighbors=3)` fitted per IiD class on CAE
-embeddings (reference src/evaluation/util_classifiers.py:16-33), queried
-with one `predict_proba` call PER IMAGE PER CLASS
-(src/evaluation/util_classifiers.py:35-55) — O(N·C) python/sklearn calls per
-eval epoch. Here the whole battery is one fused device program: a single
-pairwise-distance matmul (MXU) + top-k + a one-hot label average, producing
-the identical posterior matrix p(y|x) for all images and all classes at
-once (golden-tested against sklearn in tests/test_ops_eval.py).
+`KNeighborsClassifier(n_neighbors=5)` fitted per IiD class on CAE
+embeddings (reference src/training/classifiers.py:166-184 — the battery
+the dcgan eval actually loads; util_classifiers.py:16-33's k=3 trainer is
+dead code), queried with one `predict_proba` call PER IMAGE PER CLASS
+(src/evaluation/util_classifiers.py:35-55) — O(N·C) python/sklearn calls
+per eval epoch. Here the whole battery is one fused device program: a
+single pairwise-distance matmul (MXU) + top-k + a one-hot label average,
+producing the identical posterior matrix p(y|x) for all images and all
+classes at once (golden-tested against sklearn in tests/test_ops_eval.py),
+with optional query chunking that bounds the distance matrix's HBM
+footprint bit-identically.
 """
 
 from __future__ import annotations

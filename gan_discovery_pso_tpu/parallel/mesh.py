@@ -71,21 +71,23 @@ def distributed_initialize_if_needed(
     except Exception:  # pragma: no cover - private-API drift fallback
         already = jax.process_count() > 1
     if already:
-        return True
+        # a client exists, so the backend query is safe now
+        return jax.process_count() > 1
     if coordinator_address is None:
         coordinator_address = os.environ.get("GDPT_COORDINATOR")
     if coordinator_address is None:
         return False
+    if coordinator_address == "":
+        # pod autodetect needs no explicit topology
+        jax.distributed.initialize()  # pragma: no cover - pod autodetect
+        return jax.process_count() > 1
     if num_processes is None:
         num_processes = int(os.environ["GDPT_NUM_PROCESSES"])
     if process_id is None:
         process_id = int(os.environ["GDPT_PROCESS_ID"])
-    if coordinator_address == "":
-        jax.distributed.initialize()  # pragma: no cover - pod autodetect
-    else:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
     return jax.process_count() > 1

@@ -229,7 +229,7 @@ def run_dcgan(
             history["loss_disc"].append(float(m["loss_disc"]))
 
         # per-epoch checkpoint with optimizer state (reference :225-238)
-        ctx.ckpt.save_every_epoch("g", epoch + offset, state, loss=history["loss_gen"][-1])
+        ctx.ckpt.save_every_epoch("g", ep, state, loss=history["loss_gen"][-1])
 
         # eval phase (reference :240-270)
         res = evaluate_gan_epoch(
@@ -243,10 +243,10 @@ def run_dcgan(
         history["fid"].append(fid)
         history["is"].append(is_score)
         history["rec_loss_syn"].append(rec)
-        mw.append(epoch + offset, loss_gen=history["loss_gen"][-1],
+        mw.append(ep, loss_gen=history["loss_gen"][-1],
                   loss_disc=history["loss_disc"][-1], fid=fid,
                   inception_score=is_score, rec_loss_syn=rec)
-        print(f"[dcgan] epoch {epoch + offset}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
+        print(f"[dcgan] epoch {ep}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
 
         # plots + fixed-noise superimage (reference :272-297); per-batch
         # losses and per-epoch metrics get separate figures/x-axes
@@ -254,27 +254,27 @@ def run_dcgan(
         reporting.plot_gan_training(history, ctx.run.reports_dir)
         imgs = sampler(state.gen_params, state.gen_state, fixed_noise_key, 32)
         reporting.image_grid(
-            np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{epoch + offset}.png"
+            np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{ep}.png"
         )
         # real/fake grids to TensorBoard (reference util_dcgan.py:285-297).
         # sampler output is already per-sample rescaled to [0,1]
         # (train/dcgan.py make_sampler); real batches are in drange (-1,1)
         mw.add_image(
             "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(0, 1)),
-            step=epoch + offset,
+            step=ep,
         )
         mw.add_image(
             "Real", reporting.grid_canvas(np.asarray(x)[:32], drange=(-1, 1)),
-            step=epoch + offset,
+            step=ep,
         )
         reporting.plot_posterior_polarization(
             np.asarray(res.p_yx), list(np.asarray(battery.classes)),
-            ctx.run.reports_dir / f"class_polarization_{epoch + offset}.png",
+            ctx.run.reports_dir / f"class_polarization_{ep}.png",
         )
 
         # best model by IS (reference :279-283)
         if is_score > best_is:
-            best_is, best_epoch, best_state = is_score, epoch + offset, state
+            best_is, best_epoch, best_state = is_score, ep, state
 
     ctx.ckpt.save_best("g", best_epoch, best_state)
     mw.close()

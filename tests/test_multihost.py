@@ -100,7 +100,8 @@ def test_two_process_sharded_swarm(tmp_path):
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    env["PYTHONPATH"] = f"{Path.cwd()}:{env.get('PYTHONPATH', '')}"
+    repo_root = Path(__file__).resolve().parents[1]
+    env["PYTHONPATH"] = f"{repo_root}:{env.get('PYTHONPATH', '')}"
     ckpt_dir = tmp_path / "ckpt"
     ckpt_dir.mkdir()
     procs = [
