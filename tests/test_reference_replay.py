@@ -24,8 +24,14 @@ import jax.numpy as jnp
 
 from gan_discovery_pso_tpu.compat.torch_import import convert_torch_checkpoint
 from gan_discovery_pso_tpu.core.config import PsoConfig
+from gan_discovery_pso_tpu.pso import (
+    make_discovery_fitness,
+    make_inverter_fitness,
+    pso_iteration,
+    swarm_init,
+    swarm_init_from_positions,
+)
 from gan_discovery_pso_tpu.models import ResNetDef
-from gan_discovery_pso_tpu.pso import make_discovery_fitness, pso_iteration, swarm_init
 from tests.test_models_parity import _TorchResNet
 from tests.test_pso import NumpySwarm
 from tests.test_torch_import import _ref_generator
@@ -109,3 +115,80 @@ def test_reference_trajectory_replay_with_imported_models(tmp_path):
             err_msg=f"g_best diverged at iteration {it}",
         )
         assert int(state.g_improvements) == len(ref.g_best_val)
+
+
+def test_inverter_fitness_and_trajectory_replay(tmp_path):
+    """The hybrid PSO-inversion loop (reference pso_inverter.py +
+    util_discovery.fitness_pso_inverter:84-101) replayed against imported
+    models: binary assessor column 1, optimize_in_training objective,
+    w_rec·MSE against the RAW G output, and the double-eps quirk —
+    encoder-seeded positions, per-particle source slices."""
+    torch.manual_seed(9)
+    g = _ref_generator(z_dim=Z_DIM, f=16)
+    g.eval()
+    torch.save({"epoch": 0, "model_state_dict": g.state_dict(), "loss": 0.0},
+               tmp_path / "best_g.tar")
+    gp, gs = convert_torch_checkpoint(tmp_path / "best_g.tar", "generator")
+
+    twin = _TorchResNet((3, 4, 6, 3), 1, 2)  # re-headed binary assessor
+    twin.eval()
+    sd = {k.replace("downsample.", "identity_downsample."): v
+          for k, v in twin.state_dict().items()}
+    torch.save(sd, tmp_path / "model_1.pt")
+    rp, rs = convert_torch_checkpoint(tmp_path / "model_1.pt", "resnet50")
+    rdef = ResNetDef("ResNet50", 1, 2, (0, 1))
+
+    rng = np.random.RandomState(21)
+    sources = rng.uniform(-1, 1, (N_PARTICLES, 1, 28, 28)).astype(np.float32)
+    fitness = make_inverter_fitness(
+        gp, gs, rp, rs, rdef, jnp.asarray(sources), class_idx=1,
+        control="optimize_in_training",
+    )
+    fit_jit = jax.jit(fitness)
+    hp = PsoConfig(n_iterations=4, n_particles=N_PARTICLES, dim_space=Z_DIM)
+
+    pos0 = rng.randn(N_PARTICLES, Z_DIM).astype(np.float32)
+    state = swarm_init_from_positions(jax.random.key(1), jnp.asarray(pos0),
+                                      hp.w_inertia)
+    ref = NumpySwarm(np.asarray(state.positions), np.asarray(state.velocities), hp)
+
+    def fitness_torch(pos, n):
+        with torch.no_grad():
+            z = torch.from_numpy(np.asarray(pos, np.float32)).view(1, Z_DIM, 1, 1)
+            img_rec = g.gen(z)
+            img01 = (img_rec - img_rec.min()) / (img_rec.max() - img_rec.min())
+            p = torch.softmax(twin(img01), dim=1)[0, 1]  # binary -> column 1
+            f_ass = 1.0 * float(torch.minimum(p + 0.0, torch.ones(())) + 0.1)
+            f_rec = 1.0 * float(torch.mean(
+                (torch.from_numpy(sources[n]) - img_rec[0]) ** 2))
+            return f_ass + f_rec + 0.1  # eps added TWICE (:86,101)
+
+    def make_indexed_fit():
+        c = {"n": 0}
+
+        def fit(pos):
+            n = c["n"]
+            c["n"] += 1
+            return fitness_torch(pos, n)
+
+        return fit
+
+    # fitness parity at the seeded positions
+    vals0 = np.asarray(fit_jit(state.positions))
+    ref0 = np.array([fitness_torch(p, n) for n, p in enumerate(pos0)], np.float32)
+    np.testing.assert_allclose(vals0, ref0, rtol=5e-3, atol=2e-3)
+
+    rng_r = np.random.RandomState(22)
+    for it in range(1, 5):
+        r1 = rng_r.rand(N_PARTICLES).astype(np.float32)
+        r2 = rng_r.rand(N_PARTICLES).astype(np.float32)
+        vals = fit_jit(state.positions)
+        state = pso_iteration(state, vals, jnp.array(r1), jnp.array(r2), hp)
+        ref.step(make_indexed_fit(), r1, r2)
+        np.testing.assert_allclose(
+            np.asarray(state.positions), ref.pos, rtol=5e-3, atol=5e-3,
+            err_msg=f"inverter positions diverged at iteration {it}",
+        )
+        np.testing.assert_allclose(
+            float(state.g_best_val), ref.g_best_val[-1], rtol=5e-3, atol=2e-3,
+        )
