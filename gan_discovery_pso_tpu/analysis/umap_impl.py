@@ -196,6 +196,12 @@ class UMAP:
     def fit(self, x: np.ndarray):
         x = np.asarray(x, np.float64)
         self._x = x
+        if len(x) < 2:  # degenerate input: trivial embedding, no graph
+            self.embedding_ = np.zeros((len(x), self.n_components), np.float32)
+            self._knn_idx = np.zeros((len(x), 0), np.int64)
+            self._rho = np.zeros(len(x))
+            self._sigma = np.ones(len(x))
+            return self
         (idx, rho, sigma), edges = self._build_graph(x)
         self._knn_idx, self._rho, self._sigma = idx, rho, sigma
         # deterministic PCA init scaled to max-abs 10 (umap-learn scales its

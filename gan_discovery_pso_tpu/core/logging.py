@@ -108,6 +108,10 @@ class MetricsWriter:
                 if k != "step":
                     self._tb.add_scalar(k, v, global_step=row["step"])
 
+    @property
+    def has_tensorboard(self) -> bool:
+        return self._tb is not None
+
     def add_image(self, tag: str, image, step: int) -> None:
         """Log one image to the TensorBoard sink (reference logs real/fake
         grids at src/utils/util_dcgan.py:285-297 and the per-iteration swarm

@@ -69,7 +69,9 @@ def distributed_initialize_if_needed(
 
         already = _distributed.global_state.client is not None
     except Exception:  # pragma: no cover - private-API drift fallback
-        already = jax.process_count() > 1
+        # assume NOT initialized: querying jax.process_count() here would
+        # itself initialize the backend and break the initialize() below
+        already = False
     if already:
         # a client exists, so the backend query is safe now
         return jax.process_count() > 1
@@ -85,9 +87,13 @@ def distributed_initialize_if_needed(
         num_processes = int(os.environ["GDPT_NUM_PROCESSES"])
     if process_id is None:
         process_id = int(os.environ["GDPT_PROCESS_ID"])
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # pragma: no cover - launcher already did it
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1

@@ -110,13 +110,7 @@ def make_sharded_discovery_runner(
     `mesh`. ONE compile serves every class and every model of the same
     shapes — a per-class closure over make_sharded_optimize would pay one
     full XLA compile per class."""
-    from gan_discovery_pso_tpu.models.dcgan import generator_forward
-    from gan_discovery_pso_tpu.models.resnet import resnet_apply
-    from gan_discovery_pso_tpu.ops import rescale01_per_sample
-    from gan_discovery_pso_tpu.pso.fitness import (
-        assessor_posterior,
-        fitness_from_posterior,
-    )
+    from gan_discovery_pso_tpu.pso.fitness import apply_discovery_fitness
 
     out_shardings = (
         swarm_state_sharding(mesh, axis),
@@ -127,12 +121,11 @@ def make_sharded_discovery_runner(
     @functools.partial(jax.jit, out_shardings=out_shardings)
     def run(key, gen_params, gen_state, cnn_params, cnn_state, class_idx):
         def fitness(positions):
-            z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-            img = generator_forward(gen_params, gen_state, z)
-            img01 = rescale01_per_sample(img)
-            logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-            p = assessor_posterior(logits, class_idx)
-            return fitness_from_posterior(p, control, threshold, eps)
+            return apply_discovery_fitness(
+                positions, gen_params, gen_state, cnn_params, cnn_state,
+                cnn_def, class_idx, control=control, threshold=threshold,
+                eps=eps,
+            )
 
         return optimize(key, fitness, hp)
 

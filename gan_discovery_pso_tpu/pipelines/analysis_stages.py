@@ -154,7 +154,7 @@ def run_pso_inverter_analysis(
     cl_labels, centers, model = cluster_latents(data, algorithm, len(classes), seed=seed)
     with open(ctx.run.models_dir / f"{algorithm}.pkl", "wb") as f:
         pickle.dump(model, f)
-    assignment = assign_to_clusters(model, ood_data.astype(np.float64))
+    assignment = assign_to_clusters(model, ood_data)
     counts = {int(c): int((assignment == c).sum()) for c in np.unique(assignment)}
     report = {
         "ood_patient": int(ood_patient),
@@ -176,7 +176,9 @@ def run_pso_inverter_analysis(
         else:
             reducer, _tag = make_umap(2, random_state=seed)
             reduced_iid = reducer.fit_transform(data)
-        cluster_latents(reduced_iid, algorithm, len(classes), seed=seed)
+        # NB the reference also re-fits the clustering on the reduced data,
+        # but only to feed its 'em' ellipsoid plot (:191-193) — dead compute
+        # without that plot, so not reproduced
         reporting.plot_scatter_2d(
             reduced_iid, labels, plot_dir / f"latent_space_{method}.png",
             title=f"{method} latent space (iid)",

@@ -242,6 +242,20 @@ def run_pso_discovery_batched(
     return results
 
 
+_GEN_FWD_JIT = None
+
+
+def _jitted_generator_forward():
+    """One shared jitted G forward for the grid renderer: per-class calls of
+    the same shapes reuse ONE executable instead of re-jitting per label."""
+    global _GEN_FWD_JIT
+    if _GEN_FWD_JIT is None:
+        from gan_discovery_pso_tpu.models.dcgan import generator_forward
+
+        _GEN_FWD_JIT = jax.jit(generator_forward)
+    return _GEN_FWD_JIT
+
+
 def render_swarm_grids(
     ctx: StageContext,
     gen_params,
@@ -263,8 +277,6 @@ def render_swarm_grids(
     positions fitness was evaluated at on iteration i are the PRE-move
     positions, i.e. trajectory row i-1 — ONE batched G forward covers every
     recorded iteration."""
-    from gan_discovery_pso_tpu.models.dcgan import generator_forward
-
     out_dir = ctx.run.reports_dir / "training_plot" / str(label)
     out_dir.mkdir(parents=True, exist_ok=True)
     traj = res.particle_trajectories()  # [n_act+1, N, d]
@@ -273,7 +285,7 @@ def render_swarm_grids(
     if n_it == 0:
         return []
     z = jnp.asarray(pre_move.reshape(n_it * n_p, d, 1, 1), jnp.float32)
-    imgs = np.asarray(jax.jit(generator_forward)(gen_params, gen_state, z))
+    imgs = np.asarray(_jitted_generator_forward()(gen_params, gen_state, z))
     imgs = imgs.reshape(n_it, n_p, *imgs.shape[1:])
     paths = []
     for i in range(n_it):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gan_discovery_pso_tpu.analysis import reporting
+from gan_discovery_pso_tpu.core.checkpoint import save_pytree
 from gan_discovery_pso_tpu.core.config import AdamConfig, PsoConfig
 from gan_discovery_pso_tpu.data import train_val_split
 from gan_discovery_pso_tpu.evaluation import (
@@ -197,17 +198,17 @@ def run_dcgan(
 
             state = restore_into(state, prev["state"])
             offset = prev["epoch"] + 1
-            # restore the metric history alongside the weights (the reference
-            # reloads history.pkl, util_dcgan.py:172-174)
-            hist_file = ctx.run.reports_dir / "history_gan.jsonl"
-            if hist_file.exists():
-                import json as _json
+            # restore the FULL metric history (per-batch losses + per-epoch
+            # metrics) — the reference reloads its history.pkl,
+            # util_dcgan.py:172-174; the jsonl is per-epoch only and names
+            # "is" as "inception_score", so it cannot reconstruct this dict
+            from gan_discovery_pso_tpu.core.checkpoint import load_pytree
 
-                for line in hist_file.read_text().splitlines():
-                    row = _json.loads(line)
-                    for k in history:
-                        if k in row:
-                            history[k].append(row[k])
+            hist_file = ctx.run.reports_dir / "history_gan.msgpack"
+            if hist_file.exists():
+                saved_hist = load_pytree(hist_file)
+                history = {k: [float(v) for v in saved_hist.get(k, [])]
+                           for k in history}
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
@@ -246,6 +247,10 @@ def run_dcgan(
         mw.append(ep, loss_gen=history["loss_gen"][-1],
                   loss_disc=history["loss_disc"][-1], fid=fid,
                   inception_score=is_score, rec_loss_syn=rec)
+        # full history artifact for resume (≡ the reference's history_gan.pkl
+        # dump every epoch, util_dcgan.py:275-277)
+        save_pytree(ctx.run.reports_dir / "history_gan.msgpack",
+                    {k: np.asarray(v, np.float64) for k, v in history.items()})
         print(f"[dcgan] epoch {ep}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
 
         # plots + fixed-noise superimage (reference :272-297); per-batch
@@ -259,14 +264,15 @@ def run_dcgan(
         # real/fake grids to TensorBoard (reference util_dcgan.py:285-297).
         # sampler output is already per-sample rescaled to [0,1]
         # (train/dcgan.py make_sampler); real batches are in drange (-1,1)
-        mw.add_image(
-            "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(0, 1)),
-            step=ep,
-        )
-        mw.add_image(
-            "Real", reporting.grid_canvas(np.asarray(x)[:32], drange=(-1, 1)),
-            step=ep,
-        )
+        if mw.has_tensorboard:  # grid construction is wasted otherwise
+            mw.add_image(
+                "Fake", reporting.grid_canvas(np.asarray(imgs)[:32], drange=(0, 1)),
+                step=ep,
+            )
+            mw.add_image(
+                "Real", reporting.grid_canvas(np.asarray(x)[:32], drange=(-1, 1)),
+                step=ep,
+            )
         reporting.plot_posterior_polarization(
             np.asarray(res.p_yx), list(np.asarray(battery.classes)),
             ctx.run.reports_dir / f"class_polarization_{ep}.png",

@@ -17,6 +17,7 @@ from gan_discovery_pso_tpu.pso.fitness import (
     OPTIMIZE_OUT,
     assessor_posterior,
     fitness_from_posterior,
+    apply_discovery_fitness,
     make_discovery_fitness,
     make_discovery_fitness_dynamic,
     make_inverter_fitness,

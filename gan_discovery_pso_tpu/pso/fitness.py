@@ -54,6 +54,39 @@ def fitness_from_posterior(
     raise ValueError(control)
 
 
+def apply_discovery_fitness(
+    positions: jax.Array,
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    class_idx,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    dtype=None,
+    return_images: bool = False,
+):
+    """THE discovery fitness body (single source of truth for every runner:
+    closure-based, params-as-arguments, vmapped-batched, and sharded):
+    positions [N,d] → z [N,d,1,1] → G forward → per-sample [0,1] rescale →
+    assessor posterior column → objective (util_discovery.py:33-82).
+    class_idx may be traced. dtype casts only the latents here — callers
+    on the fast-math path cast the params themselves (once)."""
+    z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
+    if dtype is not None:
+        z = z.astype(dtype)
+    img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
+    img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
+    logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+    p = assessor_posterior(logits.astype(jnp.float32), class_idx)
+    vals = fitness_from_posterior(p, control, threshold, eps)
+    if return_images:
+        return vals, (img01, img)
+    return vals
+
+
 def make_discovery_fitness(
     gen_params,
     gen_state,
@@ -78,17 +111,11 @@ def make_discovery_fitness(
         cnn_params, cnn_state = cast(cnn_params), cast(cnn_state)
 
     def fitness(positions: jax.Array):
-        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-        if dtype is not None:
-            z = z.astype(dtype)
-        img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
-        img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
-        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-        p = assessor_posterior(logits.astype(jnp.float32), class_idx)
-        vals = fitness_from_posterior(p, control, threshold, eps)
-        if return_images:
-            return vals, (img01, img)
-        return vals
+        return apply_discovery_fitness(
+            positions, gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+            class_idx, control=control, threshold=threshold, eps=eps,
+            dtype=dtype, return_images=return_images,
+        )
 
     return fitness
 
@@ -113,12 +140,12 @@ def make_inverter_fitness(
     [N,C,H,W] in [-1,1]."""
 
     def fitness(positions: jax.Array):
-        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-        img = generator_forward(gen_params, gen_state, z)
-        img01 = rescale01_per_sample(img)
-        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-        p = assessor_posterior(logits, class_idx)
-        f_ass = w_ass * fitness_from_posterior(p, control, threshold, eps)
+        vals, (_img01, img) = apply_discovery_fitness(
+            positions, gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+            class_idx, control=control, threshold=threshold, eps=eps,
+            return_images=True,
+        )
+        f_ass = w_ass * vals
         # per-particle pixel MSE against its own source slice (raw G output,
         # NOT the rescaled image — util_discovery.py:96-98)
         f_rec = w_rec * jnp.mean(
@@ -152,14 +179,10 @@ def make_discovery_fitness_dynamic(
         cnn_params, cnn_state = cast(cnn_params), cast(cnn_state)
 
     def fitness(positions: jax.Array, class_idx) -> jax.Array:
-        z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-        if dtype is not None:
-            z = z.astype(dtype)
-        img = generator_forward(gen_params, gen_state, z)
-        img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
-        logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-        p = assessor_posterior(logits.astype(jnp.float32), class_idx)
-        return fitness_from_posterior(p, control, threshold, eps)
+        return apply_discovery_fitness(
+            positions, gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+            class_idx, control=control, threshold=threshold, eps=eps, dtype=dtype,
+        )
 
     return fitness
 

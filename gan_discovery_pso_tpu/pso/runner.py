@@ -14,14 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from gan_discovery_pso_tpu.core.config import PsoConfig
-from gan_discovery_pso_tpu.models.dcgan import generator_forward
-from gan_discovery_pso_tpu.models.resnet import ResNetDef, resnet_apply
-from gan_discovery_pso_tpu.ops import rescale01_per_sample
+from gan_discovery_pso_tpu.models.resnet import ResNetDef
 from gan_discovery_pso_tpu.pso.fitness import (
     OPTIMIZE_IN,
     OPTIMIZE_OUT,
-    assessor_posterior,
-    fitness_from_posterior,
+    apply_discovery_fitness,
 )
 from gan_discovery_pso_tpu.pso.swarm import optimize
 
@@ -40,12 +37,11 @@ def make_discovery_runner(
     @jax.jit
     def run(key, gen_params, gen_state, cnn_params, cnn_state, class_idx):
         def fitness(positions):
-            z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-            img = generator_forward(gen_params, gen_state, z)
-            img01 = rescale01_per_sample(img)
-            logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-            p = assessor_posterior(logits, class_idx)
-            return fitness_from_posterior(p, control, threshold, eps)
+            return apply_discovery_fitness(
+                positions, gen_params, gen_state, cnn_params, cnn_state,
+                cnn_def, class_idx, control=control, threshold=threshold,
+                eps=eps,
+            )
 
         return optimize(key, fitness, hp)
 
@@ -83,16 +79,11 @@ def make_batched_discovery_runner(
 
         def one(key, class_idx):
             def fitness(positions):
-                z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-                if dtype is not None:
-                    z = z.astype(dtype)
-                img = generator_forward(gen_params_, gen_state_, z)
-                img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
-                logits, _ = resnet_apply(
-                    cnn_params_, cnn_state_, img01, cnn_def, train=False
+                return apply_discovery_fitness(
+                    positions, gen_params_, gen_state_, cnn_params_, cnn_state_,
+                    cnn_def, class_idx, control=control, threshold=threshold,
+                    eps=eps, dtype=dtype,
                 )
-                p = assessor_posterior(logits.astype(jnp.float32), class_idx)
-                return fitness_from_posterior(p, control, threshold, eps)
 
             return optimize(key, fitness, hp, unroll=unroll)
 
@@ -121,16 +112,17 @@ def make_inverter_runner(
     def run(key, gen_params, gen_state, cnn_params, cnn_state, class_idx,
             source_images, init_positions):
         def fitness(positions):
-            z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
-            img = generator_forward(gen_params, gen_state, z)
-            img01 = rescale01_per_sample(img)
-            logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
-            p = assessor_posterior(logits, class_idx)
-            f_ass = w_ass * fitness_from_posterior(p, control, threshold, eps)
+            vals, (_img01, img) = apply_discovery_fitness(
+                positions, gen_params, gen_state, cnn_params, cnn_state,
+                cnn_def, class_idx, control=control, threshold=threshold,
+                eps=eps, return_images=True,
+            )
             f_rec = w_rec * jnp.mean(
                 (source_images.astype(jnp.float32) - img) ** 2, axis=(1, 2, 3)
             )
-            return f_ass + f_rec + eps
+            # double eps: the reference re-adds it on the combined value
+            # (util_discovery.py:101)
+            return w_ass * vals + f_rec + eps
 
         return optimize(key, fitness, hp, init_positions=init_positions)
 

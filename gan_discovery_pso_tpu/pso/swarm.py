@@ -372,17 +372,24 @@ def optimize_resumable(
     return state, history, init_state
 
 
-def last_iteration(history: PsoHistory) -> int:
+def last_iteration(history: PsoHistory, done=None) -> int:
     """The reference's returned `i`: n_iterations+1 on natural exit, else the
     iteration whose tolerance check broke the loop (util_pso.py:174-189).
 
     In the masked scan the iteration that latches `done` is itself recorded
-    active, so on early stop the active count IS the breaking iteration."""
+    active, so on early stop the active count IS the breaking iteration.
+    Pass the final state's `done` flag to disambiguate the boundary case
+    where the latch fires ON the last scheduled iteration (every history
+    row is active but the reference still returns i, not i+1)."""
     import numpy as np
 
     active = np.asarray(history.active)
     n_act = int(active.sum())
-    return n_act if not bool(active.all()) else n_act + 1
+    if not bool(active.all()):
+        return n_act
+    if done is not None and bool(np.asarray(done)):
+        return n_act  # early stop latched on the final iteration
+    return n_act + 1
 
 
 @dataclasses.dataclass
@@ -405,7 +412,7 @@ class SwarmResult:
 
     @property
     def last_iteration(self) -> int:
-        return last_iteration(self.history)
+        return last_iteration(self.history, done=self.state.done)
 
     def _active_count(self) -> int:
         import numpy as np

@@ -237,6 +237,31 @@ def test_last_iteration_matches_reference_loop_on_early_stop():
     assert li == i
 
 
+def test_last_iteration_early_stop_on_final_scan_iteration():
+    """Boundary case: the tolerance latch fires ON the last scheduled
+    iteration — every history row is active, but the reference still
+    returns i (the breaking iteration), not i+1. The final state's `done`
+    flag disambiguates."""
+    import dataclasses as _dc
+
+    hp = PsoConfig(n_iterations=50, n_particles=32, dim_space=2,
+                   tolerance=1e-3, early_stopping=True)
+    fit = make_analytic_fitness(analytic.sphere)
+    final, hist, _ = optimize(jax.random.key(4), fit, hp)
+    li = last_iteration(hist, done=final.done)
+    assert li < 51  # this seed early-stops
+
+    # re-run with n_iterations == the stop iteration: latch fires on the
+    # final scan step, active.all() is True, done must break the tie
+    final2, hist2, _ = optimize(
+        jax.random.key(4), fit, _dc.replace(hp, n_iterations=li)
+    )
+    assert bool(final2.done)
+    assert last_iteration(hist2, done=final2.done) == li
+    # without the flag the legacy ambiguity returns li+1 (documented)
+    assert last_iteration(hist2) == li + 1
+
+
 def test_optimize_resumable_kill_and_resume_bit_identical(tmp_path):
     """Preemption drill (SURVEY.md §5.3): 'kill' the run after the first
     checkpointed chunk, resume from disk, and require the tail trajectory to
