@@ -306,6 +306,49 @@ class CvEvaluator:
             "acc_mean": float(np.mean(accs)), "f1_mean": float(np.mean(f1s)),
         }
 
+    # the reference's full per-fold metric set (compute_metrics,
+    # util_report.py:303-323 + selected_keys :327)
+    METRIC_KEYS = ("accuracy", "precision", "recall", "f1", "auc",
+                   "specificity", "g", "tn", "tp", "fp", "fn",
+                   "total_neg", "total_pos")
+
+    def fold_metrics(self) -> list[dict]:
+        """One reference-style score dict per fold."""
+        import math
+
+        from sklearn.metrics import confusion_matrix, roc_auc_score
+
+        rows = []
+        for y, s in zip(self.fold_labels, self.fold_scores):
+            pred = (np.asarray(s) >= 0.5).astype(int)
+            tn, fp, fn, tp = confusion_matrix(y, pred, labels=[0, 1]).ravel()
+            rec = tp / (tp + fn) if (tp + fn) else float("nan")
+            prec = tp / (tp + fp) if (tp + fp) else float("nan")
+            spec = tn / (tn + fp) if (tn + fp) else float("nan")
+            f1 = (2 * rec * prec / (rec + prec)) if (rec + prec) else float("nan")
+            rows.append({
+                "accuracy": (tp + tn) / max(tp + tn + fp + fn, 1),
+                "precision": prec, "recall": rec, "f1": f1,
+                "auc": float(roc_auc_score(y, s)),
+                "specificity": spec, "g": math.sqrt(max(rec * spec, 0.0)),
+                "tn": int(tn), "tp": int(tp), "fp": int(fp), "fn": int(fn),
+                "total_neg": int(tn + fp), "total_pos": int(tp + fn),
+            })
+        return rows
+
+    def write_results_xlsx(self, path, group: str = "slices"):
+        """results.xlsx score table: one row per fold + a MEAN row
+        (reference write_to_excel, util_report.py:275-289, called per fold
+        at :385 and with fold='MEAN' at :421)."""
+        from gan_discovery_pso_tpu.data.xlsx import write_xlsx
+
+        rows = self.fold_metrics()
+        cols: dict = {"fold": [*range(len(rows)), "MEAN"], "group": [group] * (len(rows) + 1)}
+        for k in self.METRIC_KEYS:
+            vals = [float(r[k]) for r in rows]
+            cols[k] = vals + [float(np.nanmean(vals)) if vals else float("nan")]
+        return write_xlsx(path, cols)
+
     def plot_roc(self, out_path, title="ROC (CV)"):
         from sklearn.metrics import roc_curve
 

@@ -181,6 +181,17 @@ def test_cv_evaluator_and_error_reject(tmp_path):
     assert 0.5 < summ["auc_mean"] <= 1.0
     assert ev.plot_roc(tmp_path / "roc.png").exists()
 
+    # the reference's results.xlsx score table (per fold + MEAN row,
+    # util_report.py:275-289,385,421) — round-trips through our xlsx reader
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx
+
+    p = ev.write_results_xlsx(tmp_path / "results.xlsx")
+    table = read_xlsx(p)
+    assert table["fold"] == [0.0, 1.0, 2.0, "MEAN"]
+    for k in ev.METRIC_KEYS:
+        assert len(table[k]) == 4
+        assert abs(table[k][3] - np.nanmean(table[k][:3])) < 1e-9
+
     # reference reliability-threshold sweep: 90 points, percentages
     rr, err = reporting.error_reject_curve(y, s, tmp_path / "er.png", label=1)
     assert len(rr) == len(err) == 90
