@@ -16,6 +16,14 @@ fp32 batched number (gate state is reported in the JSON line).
 MFU: analytic model FLOPs per eval (XLA compiled cost analysis of one
 fitness forward, divided by batch) x measured evals/s / chip bf16 peak.
 
+Measurement protocol: the headline is SUSTAINED throughput — 10 independent
+optimize calls kept in flight via JAX async dispatch, blocked once. This
+host reaches the TPU through a tunnel whose ~30 ms per-dispatch RTT is not
+device time (the profiler clocks the 50-iteration XLA module at ~15 ms);
+every real sweep (latent-dim x class x patient) keeps multiple optimizes
+enqueued and gets the sustained rate. The blocking single-dispatch latency
+is reported alongside as single_dispatch_evals_per_sec.
+
 Baseline: a torch-CPU re-creation of the reference's execution pattern
 (batch-1 G forward + batch-1 ResNet50 forward per particle, host update
 math), measured in-process and extrapolated from a few iterations.
@@ -183,9 +191,20 @@ def measure_tpu() -> dict:
     swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(N_CLASSES)])
     total_evals = N_CLASSES * N_PARTICLES * N_ITERATIONS
 
-    def timed(dtype, label, reps=3):
+    def timed(dtype, label, reps=3, pipeline_depth=10):
         """Drives the library's own flagship path
-        (pso.make_batched_discovery_runner, params as jit arguments)."""
+        (pso.make_batched_discovery_runner, params as jit arguments).
+
+        Returns (pipelined wall/call, single-dispatch wall/call, g_best).
+        Two timings because this host reaches the TPU through a tunnel with
+        ~30 ms per-dispatch RTT, which is NOT device time (the profiler
+        shows the 50-iteration XLA module itself executing in ~15 ms):
+        - single-dispatch: one call at a time, block between calls — the
+          latency a lone interactive optimize sees here;
+        - pipelined: `pipeline_depth` independent calls in flight via JAX
+          async dispatch, block once — the sustained throughput any real
+          sweep (latent-dim × class × patient, start.sh:11-36) gets, and
+          the number that reflects the device rather than the tunnel."""
         run = make_batched_discovery_runner(rdef, hp, dtype=dtype)
 
         def call():
@@ -199,21 +218,28 @@ def measure_tpu() -> dict:
                 out = call()
         jax.block_until_ready(out)
         log(f"{label}: compile+first run {time.time() - t0:.1f}s")
-        best = float("inf")
+        single = float("inf")
         for _ in range(reps):
             t0 = time.time()
             out = call()
             jax.block_until_ready(out)
-            best = min(best, time.time() - t0)
+            single = min(single, time.time() - t0)
+        t0 = time.time()
+        outs = [call() for _ in range(pipeline_depth)]
+        jax.block_until_ready(outs)
+        piped = (time.time() - t0) / pipeline_depth
         g_best = np.asarray(out[0].g_best_val, np.float32)
-        log(f"{label}: best {best * 1000:.1f} ms -> {total_evals / best:.0f} evals/s; "
+        log(f"{label}: pipelined {piped * 1000:.1f} ms/call -> "
+            f"{total_evals / piped:.0f} evals/s "
+            f"(single-dispatch {single * 1000:.1f} ms -> "
+            f"{total_evals / single:.0f} evals/s); "
             f"g_best per class = {np.array2string(g_best, precision=5)}")
-        return best, g_best
+        return piped, single, g_best
 
     # fp32 batched (the parity path; also the gate's truth)
-    wall32, g32 = timed(None, "fp32 batched 8-class")
+    wall32, single32b, g32 = timed(None, "fp32 batched 8-class")
     # bf16 fast-math batched (the flagship candidate)
-    wall16, g16 = timed(jnp.bfloat16, "bf16 batched 8-class")
+    wall16, single16, g16 = timed(jnp.bfloat16, "bf16 batched 8-class")
 
     gate_diff = float(np.max(np.abs(g32 - g16)))
     gate_ok = gate_diff <= 1e-3
@@ -222,6 +248,7 @@ def measure_tpu() -> dict:
 
     headline_wall = wall16 if gate_ok else wall32
     headline = total_evals / headline_wall
+    single_dispatch = total_evals / (single16 if gate_ok else single32b)
 
     # MFU: model FLOPs per eval x evals/s / chip bf16 peak. Only meaningful
     # for the bf16 program — on a gate failure (fp32 headline) report None
@@ -252,12 +279,11 @@ def measure_tpu() -> dict:
         with fast_math():
             out = call_tp()
         jax.block_until_ready(out)
-        best_tp = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            out = call_tp()
-            jax.block_until_ready(out)
-            best_tp = min(best_tp, time.time() - t0)
+        jax.block_until_ready(call_tp())  # warm
+        t0 = time.time()
+        outs = [call_tp() for _ in range(6)]  # pipelined like the headline
+        jax.block_until_ready(outs)
+        best_tp = (time.time() - t0) / 6
         tp_evals = N_CLASSES * 256 * N_ITERATIONS / best_tp
         tp_mfu = (fpe * tp_evals / PEAK_FLOPS) if fpe else None
         log(f"throughput mode (8c x 256p bf16): {tp_evals:.0f} evals/s"
@@ -285,6 +311,7 @@ def measure_tpu() -> dict:
 
     return {
         "headline_evals_per_sec": headline,
+        "single_dispatch_evals_per_sec": single_dispatch,
         "gate_ok": gate_ok,
         "gate_max_gbest_diff": gate_diff,
         "mfu": mfu,
@@ -317,9 +344,12 @@ def main():
             {
                 "metric": "pso_fitness_evals_per_sec_per_chip",
                 "value": round(r["headline_evals_per_sec"], 1),
-                "unit": "evals/s (G fwd + ResNet50 fwd each; 8-class batched "
-                        "32p x 50it dcgan_mnist, bf16 gated on fp32 g_best parity)",
+                "unit": "evals/s sustained (G fwd + ResNet50 fwd each; 8-class "
+                        "batched 32p x 50it dcgan_mnist, bf16 gated on fp32 "
+                        "g_best parity, 10 optimizes in flight)",
                 "vs_baseline": vs_baseline,
+                "single_dispatch_evals_per_sec": _rnd(
+                    r["single_dispatch_evals_per_sec"]),
                 "mfu": _rnd(r["mfu"], 4),
                 "gate_ok": r["gate_ok"],
                 "gate_max_gbest_diff": round(r["gate_max_gbest_diff"], 6),
