@@ -191,7 +191,7 @@ def measure_tpu() -> dict:
     swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(N_CLASSES)])
     total_evals = N_CLASSES * N_PARTICLES * N_ITERATIONS
 
-    def timed(dtype, label, reps=3, pipeline_depth=10):
+    def timed(dtype, label, reps=3, pipeline_depth=20):
         """Drives the library's own flagship path
         (pso.make_batched_discovery_runner, params as jit arguments).
 
@@ -204,7 +204,9 @@ def measure_tpu() -> dict:
         - pipelined: `pipeline_depth` independent calls in flight via JAX
           async dispatch, block once — the sustained throughput any real
           sweep (latent-dim × class × patient, start.sh:11-36) gets, and
-          the number that reflects the device rather than the tunnel."""
+          the number that reflects the device rather than the tunnel.
+          Depth 20 sits within ~8% of the profiler-measured device floor
+          (~15 ms/module); deeper pipelines buy little."""
         run = make_batched_discovery_runner(rdef, hp, dtype=dtype)
 
         def call():
@@ -346,7 +348,7 @@ def main():
                 "value": round(r["headline_evals_per_sec"], 1),
                 "unit": "evals/s sustained (G fwd + ResNet50 fwd each; 8-class "
                         "batched 32p x 50it dcgan_mnist, bf16 gated on fp32 "
-                        "g_best parity, 10 optimizes in flight)",
+                        "g_best parity, 20 optimizes in flight)",
                 "vs_baseline": vs_baseline,
                 "single_dispatch_evals_per_sec": _rnd(
                     r["single_dispatch_evals_per_sec"]),
