@@ -147,18 +147,17 @@ def plot_gan_training(history: dict, out_dir):
 
 def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):
     """Superimage grid writer (reference util_report_gan.py:50-87 /
-    util_data.save_dataset_images). images: [N, C, H, W]."""
-    imgs = np.asarray(images)
-    lo, hi = drange
-    imgs = np.clip((imgs - lo) / (hi - lo), 0, 1)
-    n, c, h, w = imgs.shape
-    nrows = -(-n // ncols)
-    canvas = np.zeros((nrows * h, ncols * w, c), np.float32)
-    for i in range(n):
-        r, cc = divmod(i, ncols)
-        canvas[r * h : (r + 1) * h, cc * w : (cc + 1) * w, :] = imgs[i].transpose(1, 2, 0)
-    fig, ax = plt.subplots(figsize=(ncols, nrows))
-    ax.imshow(canvas.squeeze(-1) if c == 1 else canvas, cmap="gray" if c == 1 else None)
+    util_data.save_dataset_images). images: [N, C, H, W].
+
+    Cell placement + drange normalization live in grid_canvas (the single
+    make_grid-equivalent); this writer only adds matplotlib rendering."""
+    n = np.asarray(images).shape[0]
+    canvas = grid_canvas(images, ncols=ncols, drange=drange, padding=0)
+    c = canvas.shape[0]
+    hwc = canvas.transpose(1, 2, 0)
+    cols = min(ncols, n)
+    fig, ax = plt.subplots(figsize=(cols, -(-n // cols)))
+    ax.imshow(hwc.squeeze(-1) if c == 1 else hwc, cmap="gray" if c == 1 else None)
     ax.axis("off")
     fig.savefig(out_path, dpi=150, bbox_inches="tight", format="png")
     plt.close(fig)

@@ -41,7 +41,10 @@ def _parse_set(values):
 
 def _add_common(p):
     p.add_argument("--cfg", default="configs/dcgan_mnist.yaml")
-    p.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
+    # action="extend" so repeated `--set a=1 --set b=2` accumulates instead of
+    # the default nargs="*" store behavior silently keeping only the last flag
+    p.add_argument("--set", nargs="*", action="extend", default=[],
+                   help="dotted config overrides (repeatable)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny-config smoke run (small models, capped data)")
     p.add_argument("--limit", type=int, default=None, help="cap images per dataset")
@@ -131,6 +134,14 @@ def main(argv=None):
     return dispatch(args)
 
 
+def _require(value, flag: str, hint: str):
+    """Exit with a usage message (not a TypeError traceback) when a
+    prerequisite-artifact flag is missing."""
+    if not value:
+        sys.exit(f"{flag} required ({hint})")
+    return value
+
+
 def _load_gan(args):
     from gan_discovery_pso_tpu.pipelines import load_gan
 
@@ -192,14 +203,16 @@ def dispatch(args):
         if stage == "cae":
             P.run_cae(ctx, epochs=_epochs(args))
         elif stage == "classifiers":
-            P.run_classifiers(ctx, cae_model_dir=args.path_cae)
+            P.run_classifiers(ctx, cae_model_dir=_require(
+                args.path_cae, "--path-cae", "models dir of a cae run"))
         elif stage == "dcgan":
-            cae_state = P.load_cae(args.path_cae) if args.path_cae else None
-            if cae_state is None:
-                sys.exit("--path-cae required")
+            cae_state = P.load_cae(_require(
+                args.path_cae, "--path-cae", "models dir of a cae run"))
             from gan_discovery_pso_tpu.evaluation import load_battery
 
-            battery = load_battery(Path(args.path_classifiers) / "classifiers.msgpack")
+            battery = load_battery(Path(_require(
+                args.path_classifiers, "--path-classifiers",
+                "models dir of a classifiers run")) / "classifiers.msgpack")
             P.run_dcgan(ctx, cae_state, battery, epochs=_epochs(args),
                         n_synthetic=256 if args.tiny else None)
         elif stage == "cnn":
@@ -221,25 +234,25 @@ def dispatch(args):
                 cnn = _load_cnn(args, ctx)
             P.run_inverter(ctx, gp, gs, cnn=cnn, epochs=_epochs(args))
         elif stage in ("iid-extract", "ood-extract"):
-            enc = P.load_encoder(args.path_inverter)
+            enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
             P.run_extractor(ctx, enc, kind=stage.split("-")[0])
         elif stage == "pso-inverter":
             gp, gs = _load_gan(args)
-            enc = P.load_encoder(args.path_inverter)
+            enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
             cp, cs, rdef = _load_cnn(args, ctx)
             P.run_pso_inverter(ctx, gp, gs, enc, cp, cs, rdef,
                                ood_patient=getattr(args, "ood_patient", None),
                                fine_tune_epochs=_epochs(args))
         elif stage == "regularize-inverter":
             gp, gs = _load_gan(args)
-            enc = P.load_encoder(args.path_inverter)
+            enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
             imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
                                drange=(-1, 1)).images[:8]
             P.run_regularize_inverter(ctx, gp, gs, enc, imgs,
                                       iterations=50 if args.tiny else 500)
         elif stage == "regularize-inverter-statistics":
             gp, gs = _load_gan(args)
-            enc = P.load_encoder(args.path_inverter)
+            enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
             imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
                                drange=(-1, 1)).images[:8]
             P.run_regularize_inverter_statistics(
@@ -250,13 +263,13 @@ def dispatch(args):
             P.run_vqvae(ctx, gp, gs, pso_interim_dir=args.path_pso,
                         epochs=_epochs(args))
         elif stage == "pso-analysis":
-            P.run_pso_analysis(ctx, args.path_pso)
+            P.run_pso_analysis(ctx, _require(args.path_pso, "--path-pso", "interim dir of a pso-discovery run"))
         elif stage == "pso-analysis-clustering":
             P.run_pso_analysis_clustering(
                 ctx, args.path_pso, ood_interim_dir=args.path_ood_pso,
                 ood_labels=tuple(ctx.data_cfg.ood_classes) if args.path_ood_pso else None)
         elif stage == "pso-analysis-distance":
-            P.run_pso_analysis_distance(ctx, args.path_pso)
+            P.run_pso_analysis_distance(ctx, _require(args.path_pso, "--path-pso", "interim dir of a pso-discovery run"))
         elif stage == "pso-inverter-analysis":
             if args.path_pso is None or args.path_ood_pso is None:
                 sys.exit("--path-pso (iid discovery interim) and "

@@ -10,6 +10,7 @@ header. Values round-trip as str/float; callers coerce.
 
 from __future__ import annotations
 
+import numbers
 import re
 import zipfile
 from pathlib import Path
@@ -76,6 +77,12 @@ def read_xlsx(path: str | Path) -> dict[str, list]:
     header_cells = rows[0]
     ncols = max(header_cells) + 1
     names = [str(header_cells.get(i, f"col{i}")) for i in range(ncols)]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"{path}: duplicate header column(s) {dupes} — a shared dict key "
+            "would silently interleave two columns' values"
+        )
     out: dict[str, list] = {n: [] for n in names}
     for r in rows[1:]:
         for i, n in enumerate(names):
@@ -101,7 +108,9 @@ def write_xlsx(path: str | Path, columns: dict[str, list]) -> Path:
         ref = _cell_ref(r, c)
         if value is None:
             return ""
-        if isinstance(value, (int, float)) and not isinstance(value, bool):
+        # numbers.Real (not bare int/float) so numpy scalars — np.int64,
+        # np.float32, ... — also round-trip as numeric cells, not strings
+        if isinstance(value, numbers.Real) and not isinstance(value, bool):
             return f'<c r="{ref}"><v>{value}</v></c>'
         text = escape(str(value))
         return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'

@@ -272,6 +272,19 @@ def run_claro_preprocess(
             slice_ids = sorted(set(all_ids))
     if limit is not None:
         slice_ids = list(slice_ids)[:limit]
+    if not slice_ids:
+        # fail here with the manifests in hand, not in np.stack([]) later
+        hint = ""
+        if boxes is not None:
+            sample_ids = sorted(set(all_ids))[:3] if "all_ids" in locals() else []
+            sample_box = sorted(boxes)[:3]
+            hint = (f"; patients_info ids look like {sample_ids} vs box "
+                    f"'img ID's like {sample_box} — check extensions/"
+                    "numeric formatting match")
+        raise ValueError(
+            "claro_preprocess matched 0 slices between the patients_info "
+            f"manifest and the box manifest{hint}"
+        )
     print(f"[claro_preprocess] {len(slice_ids)} slices")
 
     stack, meta = prepare_patient_dataset(

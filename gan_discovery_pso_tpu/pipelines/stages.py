@@ -209,6 +209,18 @@ def run_dcgan(
                 saved_hist = load_pytree(hist_file)
                 history = {k: [float(v) for v in saved_hist.get(k, [])]
                            for k in history}
+                # Reconcile: the weights checkpoint is written AFTER the
+                # history artifact each epoch, so a kill between the two
+                # leaves history one epoch AHEAD of the checkpoint. Truncate
+                # every series to the checkpoint's epoch count so the resumed
+                # run re-appends that epoch instead of duplicating it.
+                n_ep = len(history["fid"])
+                if n_ep > offset:
+                    steps = len(history["loss_gen"]) // n_ep if n_ep else 0
+                    for k in ("fid", "is", "rec_loss_syn"):
+                        history[k] = history[k][:offset]
+                    for k in ("loss_gen", "loss_disc"):
+                        history[k] = history[k][: offset * steps]
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
@@ -229,9 +241,6 @@ def run_dcgan(
             history["loss_gen"].append(float(m["loss_gen"]))
             history["loss_disc"].append(float(m["loss_disc"]))
 
-        # per-epoch checkpoint with optimizer state (reference :225-238)
-        ctx.ckpt.save_every_epoch("g", ep, state, loss=history["loss_gen"][-1])
-
         # eval phase (reference :240-270)
         res = evaluate_gan_epoch(
             jax.random.fold_in(eval_base, ep), sampler, state.gen_params, state.gen_state,
@@ -248,9 +257,15 @@ def run_dcgan(
                   loss_disc=history["loss_disc"][-1], fid=fid,
                   inception_score=is_score, rec_loss_syn=rec)
         # full history artifact for resume (≡ the reference's history_gan.pkl
-        # dump every epoch, util_dcgan.py:275-277)
+        # dump every epoch, util_dcgan.py:275-277), then the per-epoch
+        # weights checkpoint with optimizer state (reference :225-238).
+        # ORDER MATTERS for crash consistency: history first, checkpoint
+        # last, so the checkpoint epoch never exceeds the recorded history —
+        # a kill anywhere in the epoch leaves a state the resume path's
+        # truncation reconciles exactly (no lost or duplicated epochs).
         save_pytree(ctx.run.reports_dir / "history_gan.msgpack",
                     {k: np.asarray(v, np.float64) for k, v in history.items()})
+        ctx.ckpt.save_every_epoch("g", ep, state, loss=history["loss_gen"][-1])
         print(f"[dcgan] epoch {ep}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
 
         # plots + fixed-noise superimage (reference :272-297); per-batch

@@ -372,7 +372,7 @@ def optimize_resumable(
     return state, history, init_state
 
 
-def last_iteration(history: PsoHistory, done=None) -> int:
+def last_iteration(history: PsoHistory, done=None, state_iteration=None) -> int:
     """The reference's returned `i`: n_iterations+1 on natural exit, else the
     iteration whose tolerance check broke the loop (util_pso.py:174-189).
 
@@ -380,10 +380,20 @@ def last_iteration(history: PsoHistory, done=None) -> int:
     active, so on early stop the active count IS the breaking iteration.
     Pass the final state's `done` flag to disambiguate the boundary case
     where the latch fires ON the last scheduled iteration (every history
-    row is active but the reference still returns i, not i+1)."""
+    row is active but the reference still returns i, not i+1).
+
+    A 0-row history (optimize_resumable resuming an already-finished run)
+    carries no signal; pass `state_iteration` so the answer can come from
+    the state's own counter, which sits at i+1 after iteration i executes."""
     import numpy as np
 
     active = np.asarray(history.active)
+    if active.size == 0:
+        if state_iteration is None:
+            return 0
+        it = int(np.asarray(state_iteration))
+        # reference returns i on an early-stop break, n+1 on natural exit
+        return it - 1 if (done is not None and bool(np.asarray(done))) else it
     n_act = int(active.sum())
     if not bool(active.all()):
         return n_act
@@ -412,7 +422,10 @@ class SwarmResult:
 
     @property
     def last_iteration(self) -> int:
-        return last_iteration(self.history, done=self.state.done)
+        return last_iteration(
+            self.history, done=self.state.done,
+            state_iteration=self.state.iteration,
+        )
 
     def _active_count(self) -> int:
         import numpy as np

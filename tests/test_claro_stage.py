@@ -211,3 +211,73 @@ def test_sliding_window_dataset_mat_and_png(tmp_path):
     assert img.shape == (20, 20) and img.dtype == np.float32
     x = slice_loader(png, 16)
     assert x.shape == (1, 16, 16) and 0.0 <= x.min() and x.max() <= 1.0
+
+
+def test_xlsx_duplicate_header_raises(tmp_path):
+    """Two columns sharing a name would silently interleave into one dict
+    key; the reader must refuse instead."""
+    import pytest
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    # write_xlsx takes a dict (can't duplicate); inject the dupe into the
+    # sheet XML directly
+    import zipfile
+
+    p = write_xlsx(tmp_path / "m.xlsx", {"label": ["a"], "other": ["b"]})
+    with zipfile.ZipFile(p) as zf:
+        names = zf.namelist()
+        contents = {n: zf.read(n) for n in names}
+    sheet = contents["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace("<is><t>other</t></is>", "<is><t>label</t></is>")
+    contents["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in contents.items():
+            zf.writestr(n, data)
+    with pytest.raises(ValueError, match="duplicate header"):
+        read_xlsx(p)
+
+
+def test_xlsx_numpy_scalars_roundtrip_numeric(tmp_path):
+    """np.int64 / np.float32 cells must write as numeric <v> cells (they are
+    not int/float subclasses), so they read back as float, not str."""
+    import numpy as np
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    cols = {"id_slice": list(np.arange(3, dtype=np.int64)),
+            "score": list(np.linspace(0, 1, 3, dtype=np.float32))}
+    p = write_xlsx(tmp_path / "m.xlsx", cols)
+    got = read_xlsx(p)
+    assert got["id_slice"] == [0.0, 1.0, 2.0]
+    assert all(isinstance(v, float) for v in got["id_slice"] + got["score"])
+
+
+def test_claro_preprocess_zero_match_raises(tmp_path):
+    """Mismatched manifests (0 slice ids in common) must raise a diagnostic,
+    not crash in np.stack deep inside prepare_patient_dataset."""
+    import pytest
+
+    from gan_discovery_pso_tpu.data.xlsx import write_xlsx
+
+    dataset = "claro_prospettivo"
+    _write_patient_tiffs(tmp_path, dataset, patients=("PAT1",), n_slices=1)
+    interim_ds = tmp_path / "interim" / dataset
+    interim_ds.mkdir(parents=True)
+    write_xlsx(interim_ds / f"patients_info_{dataset}.xlsx",
+               {"image": ["PAT1_0.tif"]})
+    # box manifest ids don't intersect the patients_info ids
+    write_xlsx(tmp_path / "boxes.xlsx",
+               {"img ID": ["OTHER_9"], "max_box": ["[0, 0, 4, 4]"]})
+    cfg = load_config("configs/claro_preprocess.yaml", overrides={
+        "data.data_dir": str(tmp_path / "raw"),
+        "data.interim_dir": str(tmp_path / "interim"),
+        "data.model_dir": str(tmp_path / "models"),
+        "data.reports_dir": str(tmp_path / "reports"),
+        "data.image_size": 32,
+        "data.box_file": str(tmp_path / "boxes.xlsx"),
+        "data.box_value": "max_box",
+    })
+    ctx = StageContext.create(cfg, "claro_preprocess")
+    with pytest.raises(ValueError, match="matched 0 slices"):
+        run_claro_preprocess(ctx)

@@ -382,6 +382,36 @@ def test_dcgan_resume_restores_history_and_epoch(roots, artifacts):
     assert saved["epoch"] == 1  # offset applied
 
 
+def test_dcgan_resume_reconciles_history_ahead_of_checkpoint(roots, artifacts):
+    """A kill in the window between the history-artifact write and the
+    weights-checkpoint write (history first, checkpoint last — see
+    run_dcgan) leaves the history one epoch AHEAD of the checkpoint; resume
+    must truncate that epoch and re-run it, not duplicate it."""
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree, save_pytree
+
+    _ctx1, cae_state, _ = artifacts["cae"]
+    _ctx2, battery = artifacts["classifiers"]
+
+    ctxA = _ctx(roots, "dcgan_desync")
+    run_dcgan(ctxA, cae_state, battery, epochs=1, n_synthetic=64)
+    # simulate the kill window: the history artifact gained epoch 1 but the
+    # checkpoint still says epoch 0
+    hist_file = ctxA.run.reports_dir / "history_gan.msgpack"
+    h = {k: np.asarray(v) for k, v in load_pytree(hist_file).items()}
+    steps = len(h["loss_gen"])
+    save_pytree(hist_file, {k: np.concatenate([v, v]) for k, v in h.items()})
+
+    ctxB = _ctx(roots, "dcgan_desync_resume")
+    ctxB.run = ctxA.run
+    ctxB.ckpt = ctxA.ckpt
+    _state, hist2 = run_dcgan(ctxB, cae_state, battery, epochs=1,
+                              n_synthetic=64, resume=True)
+    # exactly 2 epochs of history: the phantom epoch was truncated and the
+    # real epoch 1 re-ran (not 3 epochs, and no interleaved duplicates)
+    assert len(hist2["fid"]) == 2
+    assert len(hist2["loss_gen"]) == 2 * steps
+
+
 def test_dcgan_kill_and_resume_bit_identical(roots, artifacts):
     """Per-step RNG is keyed by ABSOLUTE (epoch, step), so a killed-and-
     resumed training run replays the single-shot tail exactly (SURVEY

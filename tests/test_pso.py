@@ -300,10 +300,15 @@ def test_optimize_resumable_finished_run_returns_empty_history(tmp_path):
     fit = make_analytic_fitness(analytic.sphere)
     key = jax.random.key(14)
     ck = Checkpointer(tmp_path)
-    f1, _, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
-    f2, h2, _ = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
+    f1, _, i1 = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
+    f2, h2, i2 = optimize_resumable(key, fit, hp, checkpointer=ck, checkpoint_every=3)
     np.testing.assert_array_equal(np.asarray(f1.positions), np.asarray(f2.positions))
     assert np.asarray(h2.active).shape[0] == 0
+    # last_iteration on the 0-row history must fall back to the state's own
+    # counter, not report 1 (the reference returns n_iterations+1 on natural
+    # exit; the state counter sits at i+1 after iteration i executes)
+    res = SwarmResult(f2, h2, i2, hp)
+    assert res.last_iteration == hp.n_iterations + 1
 
 
 def test_optimize_resumable_matches_single_shot(tmp_path):
