@@ -6,8 +6,9 @@ latent analyses use UMAP projections everywhere
 src/training/pso_analysis.py, pso_inverter_analysis.py). This module
 implements the published algorithm directly:
 
-1. exact kNN via one pairwise-distance matmul (the analysis datasets are
-   at most a few thousand particles — brute force IS the fast path on MXU);
+1. exact kNN via one broadcasted pairwise-distance matmul on the host
+   (the analysis datasets are at most a few thousand particles — one
+   NumPy GEMM beats any index structure at that size);
 2. smooth-kNN calibration: per-point rho_i (distance to nearest nonzero
    neighbor) and sigma_i solved by bisection so that
    sum_j exp(-(max(0, d_ij − rho_i)) / sigma_i) = log2(k);
@@ -34,12 +35,11 @@ import numpy as np
 
 
 def _pairwise_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    d2 = (
-        (a * a).sum(1)[:, None]
-        + (b * b).sum(1)[None, :]
-        - 2.0 * a @ b.T
-    )
-    return np.sqrt(np.maximum(d2, 0.0))
+    # single source of truth for the broadcasted Euclidean kernel lives in
+    # analysis/latent.py (lazy import: latent.py lazily imports this module)
+    from gan_discovery_pso_tpu.analysis.latent import mutual_distance
+
+    return mutual_distance(a, b).reshape(len(a), len(b))
 
 
 def _knn(x: np.ndarray, k: int, exclude_self: bool = True):

@@ -135,11 +135,16 @@ def slice_loader(
     if np.isnan(img).any():
         img = np.where(np.isnan(img), np.float32(fill_nan), img)
     if img.shape[0] != img_dim or img.shape[1] != img_dim:
-        import jax
-        import jax.numpy as jnp
+        # host-side bilinear resize (like the reference's cv2.resize,
+        # util_data.py:291): one device dispatch PER SLICE here would pay the
+        # TPU-tunnel RTT thousands of times while materializing a manifest —
+        # the device is for the batched training path, not item-wise IO
+        from PIL import Image
 
         img = np.asarray(
-            jax.image.resize(jnp.asarray(img, jnp.float32), (img_dim, img_dim), "linear")
+            Image.fromarray(np.ascontiguousarray(img, np.float32), mode="F")
+            .resize((img_dim, img_dim), Image.BILINEAR),
+            np.float32,
         )
     img = normalize01(img.astype(np.float64)).astype(np.float32)
     if rescale_minus_1_plus_1:

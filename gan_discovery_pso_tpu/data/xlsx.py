@@ -54,22 +54,28 @@ def read_xlsx(path: str | Path) -> dict[str, list]:
     rows: list[dict[int, object]] = []
     for row in root.iter(f"{_NS}row"):
         vals: dict[int, object] = {}
+        # the c element's r= attribute is OPTIONAL in OOXML: without it the
+        # cell sits one column right of the previous cell in the row (several
+        # streaming writers omit it) — track the running column index instead
+        # of defaulting to A1, which would pile every such cell onto column 0
+        col = -1
         for c in row.iter(f"{_NS}c"):
-            ref = c.get("r", "A1")
+            ref = c.get("r")
+            col = _col_index(ref) if ref else col + 1
             t = c.get("t")
             v = c.find(f"{_NS}v")
             if t == "inlineStr":
                 is_el = c.find(f"{_NS}is")
                 text = "".join(tt.text or "" for tt in is_el.iter(f"{_NS}t")) if is_el is not None else ""
-                vals[_col_index(ref)] = text
+                vals[col] = text
             elif v is None:
                 continue
             elif t == "s":
-                vals[_col_index(ref)] = shared[int(v.text)]
+                vals[col] = shared[int(v.text)]
             elif t == "str":
-                vals[_col_index(ref)] = v.text
+                vals[col] = v.text
             else:
-                vals[_col_index(ref)] = float(v.text)
+                vals[col] = float(v.text)
         rows.append(vals)
 
     if not rows:
@@ -111,6 +117,11 @@ def write_xlsx(path: str | Path, columns: dict[str, list]) -> Path:
         # numbers.Real (not bare int/float) so numpy scalars — np.int64,
         # np.float32, ... — also round-trip as numeric cells, not strings
         if isinstance(value, numbers.Real) and not isinstance(value, bool):
+            # xsd:double has no nan/inf literal — Excel treats <v>nan</v> as
+            # a corrupt workbook; write non-finite metrics as empty cells
+            # (e.g. CvEvaluator folds with tp+fp==0 emit nan precision)
+            if value != value or value in (float("inf"), float("-inf")):
+                return ""
             return f'<c r="{ref}"><v>{value}</v></c>'
         text = escape(str(value))
         return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'

@@ -238,6 +238,47 @@ def test_xlsx_duplicate_header_raises(tmp_path):
         read_xlsx(p)
 
 
+def test_xlsx_cells_without_r_attribute_position_sequentially(tmp_path):
+    """The OOXML c element's r= attribute is optional — cells without it sit
+    one column right of the previous cell (streaming writers omit it). They
+    must NOT all collapse onto column A."""
+    import re
+    import zipfile
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    p = write_xlsx(tmp_path / "m.xlsx",
+                   {"id": [1.0, 2.0], "name": ["a", "b"], "score": [0.5, 0.25]})
+    with zipfile.ZipFile(p) as zf:
+        contents = {n: zf.read(n) for n in zf.namelist()}
+    sheet = re.sub(r' r="[A-Z]+\d+"', "",
+                   contents["xl/worksheets/sheet1.xml"].decode())
+    contents["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in contents.items():
+            zf.writestr(n, data)
+    got = read_xlsx(p)
+    assert got == {"id": [1.0, 2.0], "name": ["a", "b"], "score": [0.5, 0.25]}
+
+
+def test_xlsx_nonfinite_floats_write_as_empty_cells(tmp_path):
+    """xsd:double has no nan/inf literal — <v>nan</v> makes Excel declare
+    the workbook corrupt. Non-finite metrics (CvEvaluator folds with
+    tp+fp==0) must come back as empty (None) cells."""
+    import numpy as np
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    cols = {"precision": [float("nan"), 0.5],
+            "recall": [float("inf"), np.float32("-inf")]}
+    p = write_xlsx(tmp_path / "m.xlsx", cols)
+    raw = open(p, "rb").read()
+    assert b"nan" not in raw and b"inf" not in raw
+    got = read_xlsx(p)
+    assert got["precision"] == [None, 0.5]
+    assert got["recall"] == [None, None]
+
+
 def test_xlsx_numpy_scalars_roundtrip_numeric(tmp_path):
     """np.int64 / np.float32 cells must write as numeric <v> cells (they are
     not int/float subclasses), so they read back as float, not str."""
