@@ -315,11 +315,23 @@ def _landscape_gif(ctx: StageContext, fitness, res: SwarmResult, label):
     out_dir.mkdir(parents=True, exist_ok=True)
     traj = res.particle_trajectories()  # [iters+1, N, 2]
     center = np.asarray(res.g_best_pos)
+
+    # the contour mesh is identical for every frame (fixed center/span) —
+    # evaluate it ONCE on device and serve every frame from the cache
+    # instead of paying a dispatch per frame
+    mesh_cache: dict = {}
+
+    def cached_fitness(mesh):
+        key = mesh.shape
+        if key not in mesh_cache:
+            mesh_cache[key] = np.asarray(fitness(jax.numpy.asarray(mesh)))
+        return mesh_cache[key]
+
     frames = []
     for it in range(traj.shape[0]):
         frames.append(
             reporting.plot_fitness_landscape_2d(
-                lambda mesh: np.asarray(fitness(jax.numpy.asarray(mesh))),
+                cached_fitness,
                 center=center,
                 out_path=out_dir / f"iter_{it:03d}.png",
                 positions=traj[it],

@@ -185,6 +185,48 @@ def test_pso_discovery_stage_artifacts(artifacts):
     assert (ctx.run.reports_dir / "timing.json").exists()
 
 
+def test_pso_discovery_2d_landscape_gif_single_mesh_eval(roots, artifacts, monkeypatch):
+    """dim_space=2 emits the per-iteration landscape frames + GIF (reference
+    pso_discovery.py:226-237), and the identical contour mesh is evaluated
+    on device ONCE — not once per frame."""
+    import gan_discovery_pso_tpu.pipelines.pso_discovery as pd
+
+    _ctx1, cae_state, _ = artifacts["cae"]
+    _ctx2, battery = artifacts["classifiers"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+
+    # dim_space must equal the GAN's z_dim (the reference's latent-dim sweep
+    # trains one GAN per dim) — train a z_dim=2 tiny GAN for this test
+    ctxG = _ctx(roots, "dcgan_z2", extra={"trainer_gan.z_dim": 2})
+    gan_state, _ = run_dcgan(ctxG, cae_state, battery, epochs=1, n_synthetic=64)
+
+    calls = {"n": 0}
+    real_make = pd.make_discovery_fitness_dynamic
+
+    def counting_make(*a, **kw):
+        fit = real_make(*a, **kw)
+
+        def wrapped(pos, ci):
+            calls["n"] += 1
+            return fit(pos, ci)
+
+        return wrapped
+
+    monkeypatch.setattr(pd, "make_discovery_fitness_dynamic", counting_make)
+    ctx = _ctx(roots, "pso_discovery", extra={"trainer_pso.dim_space": 2})
+    pd.run_pso_discovery(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0,), make_plots=True, image_grids=False,
+    )
+    gif = ctx.run.reports_dir / "landscape_class_0.gif"
+    assert gif.exists()
+    frames = sorted((ctx.run.reports_dir / "landscape_class_0").glob("iter_*.png"))
+    assert len(frames) >= 2  # init + ≥1 iteration
+    # one mesh eval total, despite len(frames) frames
+    assert calls["n"] == 1
+
+
 def test_inverter_stage_artifacts(artifacts):
     ctx, enc_params, hist = artifacts["inverter"]
     assert (ctx.run.models_dir / "encoder.msgpack").exists()
