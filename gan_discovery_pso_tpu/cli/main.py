@@ -266,7 +266,10 @@ def dispatch(args):
             P.run_pso_analysis(ctx, _require(args.path_pso, "--path-pso", "interim dir of a pso-discovery run"))
         elif stage == "pso-analysis-clustering":
             P.run_pso_analysis_clustering(
-                ctx, args.path_pso, ood_interim_dir=args.path_ood_pso,
+                ctx,
+                _require(args.path_pso, "--path-pso",
+                         "interim dir of a pso-discovery run"),
+                ood_interim_dir=args.path_ood_pso,
                 ood_labels=tuple(ctx.data_cfg.ood_classes) if args.path_ood_pso else None)
         elif stage == "pso-analysis-distance":
             P.run_pso_analysis_distance(ctx, _require(args.path_pso, "--path-pso", "interim dir of a pso-discovery run"))

@@ -252,6 +252,7 @@ def run_claro_preprocess(
     box_file = cfg.data.get("box_file")
     if boxes is None and box_file:
         boxes = read_box_manifest(box_file, str(cfg.data.get("box_value", "box")))
+    all_ids = None  # patients_info ids, kept for the zero-match diagnostic
     if slice_ids is None:
         if patients_info is None:
             dataset = ctx.data_cfg.dataset
@@ -276,7 +277,7 @@ def run_claro_preprocess(
         # fail here with the manifests in hand, not in np.stack([]) later
         hint = ""
         if boxes is not None:
-            sample_ids = sorted(set(all_ids))[:3] if "all_ids" in locals() else []
+            sample_ids = sorted(set(all_ids))[:3] if all_ids is not None else []
             sample_box = sorted(boxes)[:3]
             hint = (f"; patients_info ids look like {sample_ids} vs box "
                     f"'img ID's like {sample_box} — check extensions/"
