@@ -48,6 +48,10 @@ def _add_common(p):
     p.add_argument("--tiny", action="store_true",
                    help="tiny-config smoke run (small models, capped data)")
     p.add_argument("--limit", type=int, default=None, help="cap images per dataset")
+    p.add_argument("--fast-math", action="store_true",
+                   help="trace model convs/matmuls at DEFAULT precision "
+                        "(MXU bf16 passes) instead of the fp32-parity "
+                        "HIGHEST default — the production-throughput mode")
 
 
 _TINY = {
@@ -151,14 +155,15 @@ def _load_gan(args):
 
 
 def _load_cnn(args, ctx):
-    from gan_discovery_pso_tpu.models import ResNetDef
     from gan_discovery_pso_tpu.pipelines import load_cnn
+    from gan_discovery_pso_tpu.pipelines.stages import _assessor
 
     if not args.path_cnn:
         sys.exit("--path-cnn required (models dir of a cnn-multipatient run)")
     iid = tuple(ctx.data_cfg.iid_classes)
-    rdef = ResNetDef(str(ctx.cfg.model_cnn.model_name), ctx.data_cfg.channel,
-                     len(iid), iid)
+    # same factory as the training stages (reference get_cnn indirection) —
+    # a model_cnn.model_name of AlexNet resolves to an AlexNetDef here too
+    rdef, _init, _apply = _assessor(ctx, len(iid))
     params, state = load_cnn(args.path_cnn, rdef)
     return params, state, rdef
 
@@ -199,7 +204,17 @@ def dispatch(args):
 
     module = stage.replace("-", "_")
     ctx = _ctx(args, module)
-    with ctx.tee():
+    # --fast-math covers the whole stage: jitted steps trace on their first
+    # call inside this block, baking DEFAULT conv/matmul precision in
+    # (ops/precision.py). Besides MXU throughput, this sidesteps an XLA:TPU
+    # pathology where HIGHEST-precision conv WEIGHT-gradients of some shapes
+    # (e.g. AlexNet's 3x3/s1/p1 on 28x28) compile for tens of minutes.
+    import contextlib
+
+    from gan_discovery_pso_tpu.ops.precision import fast_math
+
+    fm = fast_math() if getattr(args, "fast_math", False) else contextlib.nullcontext()
+    with ctx.tee(), fm:
         if stage == "cae":
             P.run_cae(ctx, epochs=_epochs(args))
         elif stage == "classifiers":

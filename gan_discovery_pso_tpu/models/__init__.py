@@ -34,6 +34,7 @@ from gan_discovery_pso_tpu.models.resnet import (
     AlexNetDef,
     alexnet_init,
     alexnet_apply,
+    assessor_apply,
 )
 from gan_discovery_pso_tpu.models.vqvae import (
     VQVAEGanDef,

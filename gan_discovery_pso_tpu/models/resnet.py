@@ -230,3 +230,13 @@ def _dropout2d_like(h, train, key, salt):
     k = jax.random.fold_in(key, salt)
     keep = jax.random.bernoulli(k, 0.5, h.shape)
     return jnp.where(keep, h / 0.5, 0.0)
+
+
+def assessor_apply(params, state, x, mdef, train: bool = False, **kw):
+    """Forward for EITHER assessor family — the reference's get_cnn
+    indirection (util_cnn.py:24-38) means any entry that loads a CNN from
+    config may get a ResNet or an AlexNet; dispatch on the def type so the
+    discovery/inversion fitness paths work with both."""
+    if isinstance(mdef, AlexNetDef):
+        return alexnet_apply(params, state, x, mdef, train=train, **kw)
+    return resnet_apply(params, state, x, mdef, train=train, **kw)

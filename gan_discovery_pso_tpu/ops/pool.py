@@ -25,6 +25,18 @@ def max_pool2d(
     k = _pair(kernel_size)
     s = _pair(stride) if stride is not None else k
     p = _pair(padding)
+    if k == s and p == (0, 0):
+        # Non-overlapping unpadded pool (AlexNet's MaxPool2d(2,2) × 4): a
+        # reshape-max is bit-identical (floor mode drops the ragged tail,
+        # exactly torch ceil_mode=False) and its VJP is a cheap mask.
+        # reduce_window's VJP lowers to select-and-scatter, which XLA
+        # compiles pathologically slowly (measured: 147 s for ONE 2×2 pool
+        # backward on XLA:CPU; four of them made the AlexNet train step
+        # effectively uncompilable).
+        n, c, h, w = x.shape
+        oh, ow = h // k[0], w // k[1]
+        x = x[:, :, : oh * k[0], : ow * k[1]]
+        return x.reshape(n, c, oh, k[0], ow, k[1]).max(axis=(3, 5))
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from gan_discovery_pso_tpu.models.dcgan import generator_forward
-from gan_discovery_pso_tpu.models.resnet import ResNetDef, resnet_apply
+from gan_discovery_pso_tpu.models.resnet import ResNetDef, assessor_apply
 from gan_discovery_pso_tpu.ops import rescale01_per_sample
 
 OPTIMIZE_IN = "optimize_in_training"
@@ -60,7 +60,7 @@ def apply_discovery_fitness(
     gen_state,
     cnn_params,
     cnn_state,
-    cnn_def: ResNetDef,
+    cnn_def,  # ResNetDef or AlexNetDef (reference get_cnn indirection)
     class_idx,
     control: str = OPTIMIZE_OUT,
     threshold: float = 0.0,
@@ -79,7 +79,7 @@ def apply_discovery_fitness(
         z = z.astype(dtype)
     img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
     img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
-    logits, _ = resnet_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
+    logits, _ = assessor_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
     p = assessor_posterior(logits.astype(jnp.float32), class_idx)
     vals = fitness_from_posterior(p, control, threshold, eps)
     if return_images:

@@ -103,3 +103,39 @@ def test_bf16_fitness_close_to_fp32(small_models):
         )
     # bf16 forwards shift posteriors slightly; the objective must stay close
     np.testing.assert_allclose(f16, f32, atol=0.05)
+
+
+def test_discovery_fitness_with_alexnet_assessor():
+    """The reference's get_cnn factory (util_cnn.py:24-38) can hand any
+    entry an AlexNet assessor; the fitness body must dispatch on the def
+    type, not assume ResNet."""
+    from gan_discovery_pso_tpu.core.config import PsoConfig
+    from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_init
+    from gan_discovery_pso_tpu.pso import apply_discovery_fitness, optimize
+
+    key = jax.random.key(7)
+    kg, ka, kp = jax.random.split(key, 3)
+    gdef = GeneratorDef(z_dim=6, features_g=8)
+    gp, gs = generator_init(kg, gdef)
+    adef = AlexNetDef(image_channels=1, n_class=8, img_size=28, padding=1,
+                      iid_classes=(0, 2, 3, 4, 6, 7, 8, 9))
+    ap, as_ = alexnet_init(ka, adef)
+
+    pos = jax.random.normal(kp, (5, 6), jnp.float32)
+    vals = apply_discovery_fitness(pos, gp, gs, ap, as_, adef, class_idx=2)
+    assert vals.shape == (5,)
+    assert np.isfinite(np.asarray(vals)).all()
+    # OPTIMIZE_OUT objective range: 1 - min(p+thr,1) + eps in (eps, 1+eps]
+    assert (np.asarray(vals) > 0.1 - 1e-6).all()
+    assert (np.asarray(vals) <= 1.1 + 1e-6).all()
+
+    # and the fused optimize runs end-to-end on it
+    hp = PsoConfig(n_iterations=3, n_particles=5, dim_space=6)
+    final, hist, init = jax.jit(
+        lambda k: optimize(
+            k,
+            lambda p: apply_discovery_fitness(p, gp, gs, ap, as_, adef, 2),
+            hp,
+        )
+    )(key)
+    assert np.isfinite(float(final.g_best_val))

@@ -113,7 +113,12 @@ def test_batch_norm_eval_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("k,s,p,hw", [(3, 2, 1, 14), (2, 2, 0, 28), (3, 2, 1, 7)])
+@pytest.mark.parametrize("k,s,p,hw", [
+    (3, 2, 1, 14), (2, 2, 0, 28), (3, 2, 1, 7),
+    # odd size on the reshape-max path (k==s, p=0): floor mode drops the
+    # ragged tail row/col, exactly torch ceil_mode=False
+    (2, 2, 0, 7), (3, 3, 0, 14),
+])
 def test_max_pool2d_matches_torch(k, s, p, hw):
     x = _rand(2, 4, hw, hw, seed=13)
     want = F.max_pool2d(torch.tensor(x), k, s, p).numpy()
