@@ -119,6 +119,23 @@ def main(argv=None):
             p.add_argument("--controls", nargs="*",
                            default=["optimize_in_training", "optimize_out_training"])
 
+    # AOT serving-artifact export (StableHLO via jax.export)
+    pe = sub.add_parser("export-model",
+                        help="export a self-contained StableHLO serving "
+                             "artifact (weights baked in)")
+    _add_common(pe)
+    pe.add_argument("what", choices=["generator", "fitness"])
+    pe.add_argument("out", help="output artifact path")
+    pe.add_argument("--path-gan", required=True)
+    pe.add_argument("--path-cnn", default=None,
+                    help="required for `fitness` (assessor models dir)")
+    pe.add_argument("--batch", type=int, default=32)
+    pe.add_argument("--class-label", type=int, default=None,
+                    help="fitness: the IiD class label to score (default: "
+                         "first iid class)")
+    pe.add_argument("--platforms", nargs="*", default=None,
+                    help="cross-platform lowering targets, e.g. tpu cpu")
+
     # torch-checkpoint migration (no StageContext needed)
     pc = sub.add_parser("convert-torch",
                         help="import a reference PyTorch checkpoint")
@@ -129,6 +146,8 @@ def main(argv=None):
     pc.add_argument("dst", help="output .msgpack path")
 
     args = parser.parse_args(argv)
+    if args.stage == "export-model":
+        return _export_model(args)
     if args.stage == "convert-torch":
         from gan_discovery_pso_tpu.compat.torch_import import convert_torch_checkpoint
 
@@ -136,6 +155,45 @@ def main(argv=None):
         print(f"[convert-torch] {args.src} ({args.model}) -> {args.dst}")
         return 0
     return dispatch(args)
+
+
+def _export_model(args):
+    """`export-model {generator,fitness} OUT` — serialize a self-contained
+    StableHLO serving artifact (compat/export.py). No run dir is created."""
+    from gan_discovery_pso_tpu.compat.export import (
+        export_discovery_fitness,
+        export_generator,
+    )
+    from gan_discovery_pso_tpu.core.config import DataConfig, load_config
+    from gan_discovery_pso_tpu.pipelines import load_gan
+
+    cfg = load_config(args.cfg, overrides=_parse_set(args.set))
+    data_cfg = DataConfig.from_config(cfg.data)
+    gp, gs = load_gan(args.path_gan)
+    platforms = tuple(args.platforms) if args.platforms else None
+    if args.what == "generator":
+        out = export_generator(
+            gp, gs, z_dim=int(cfg.trainer_gan.z_dim), batch=args.batch,
+            path=args.out, platforms=platforms,
+        )
+    else:
+        from gan_discovery_pso_tpu.pipelines import load_cnn
+        from gan_discovery_pso_tpu.pipelines.stages import assessor_factory
+
+        iid = tuple(data_cfg.iid_classes)
+        rdef, _i, _a = assessor_factory(cfg, data_cfg, len(iid))
+        cp, cs = load_cnn(
+            _require(args.path_cnn, "--path-cnn",
+                     "models dir of a cnn-multipatient run"), rdef)
+        label = args.class_label if args.class_label is not None else iid[0]
+        out = export_discovery_fitness(
+            gp, gs, cp, cs, rdef,
+            class_idx=rdef.class_to_idx().get(label, 1),
+            dim_space=int(cfg.trainer_pso.dim_space), batch=args.batch,
+            path=args.out, platforms=platforms,
+        )
+    print(f"[export-model] {args.what} -> {out}")
+    return 0
 
 
 def _require(value, flag: str, hint: str):

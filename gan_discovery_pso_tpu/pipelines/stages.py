@@ -320,25 +320,29 @@ def load_gan(model_dir: str | Path, best: bool = True):
 # ---------------------------------------------------------------------------
 
 
-def _assessor(ctx: StageContext, n_class: int):
+def assessor_factory(cfg, data_cfg, n_class: int):
     """Model factory matching the reference get_cnn (util_cnn.py:24-38):
     returns (mdef, init_fn, apply_fn) for ResNet50/101/152 or AlexNet."""
-    name = str(ctx.cfg.model_cnn.model_name)
-    iid = tuple(ctx.data_cfg.iid_classes)
+    name = str(cfg.model_cnn.model_name)
+    iid = tuple(data_cfg.iid_classes)
     if name.startswith("ResNet"):
-        return ResNetDef(name, ctx.data_cfg.channel, n_class, iid), None, None
+        return ResNetDef(name, data_cfg.channel, n_class, iid), None, None
     if name == "AlexNet":
         from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_apply, alexnet_init
 
-        net = ctx.cfg.model_cnn.get("network", {})
+        net = cfg.model_cnn.get("network", {})
         pad = 0 if str(net.get("padding", "valid")) == "valid" else 1
         mdef = AlexNetDef(
-            image_channels=ctx.data_cfg.channel, n_class=n_class,
-            img_size=ctx.data_cfg.image_size, kernel=int(net.get("kernel", 3)),
+            image_channels=data_cfg.channel, n_class=n_class,
+            img_size=data_cfg.image_size, kernel=int(net.get("kernel", 3)),
             padding=pad, iid_classes=iid,
         )
         return mdef, (lambda k, d, init: alexnet_init(k, d, init=init)), alexnet_apply
     raise ValueError(name)
+
+
+def _assessor(ctx: StageContext, n_class: int):
+    return assessor_factory(ctx.cfg, ctx.data_cfg, n_class)
 
 
 def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):

@@ -107,3 +107,33 @@ def test_cli_pso_inverter_analysis_requires_paths(tmp_path):
               f"data.interim_dir={tmp_path / 'interim'}",
               f"data.model_dir={tmp_path / 'models'}",
               f"data.reports_dir={tmp_path / 'reports'}"])
+
+
+def test_cli_export_model_generator(tmp_path):
+    """`export-model generator` writes a self-contained StableHLO artifact
+    from a dcgan checkpoint, creating no run dir."""
+    import jax
+
+    from gan_discovery_pso_tpu.compat.export import load_exported
+    from gan_discovery_pso_tpu.core.checkpoint import save_pytree
+    from gan_discovery_pso_tpu.models import GeneratorDef, generator_init
+    from gan_discovery_pso_tpu.models.dcgan import generator_forward
+
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(z_dim=8, features_g=8))
+    gan_dir = tmp_path / "gan"
+    gan_dir.mkdir()
+    save_pytree(gan_dir / "best_g.msgpack",
+                {"state": {"gen_params": gp, "gen_state": gs}})
+
+    out = tmp_path / "g.shlo"
+    rc = main([
+        "export-model", "generator", str(out),
+        "--path-gan", str(gan_dir), "--batch", "4",
+        "--set", "trainer_gan.z_dim=8",
+    ])
+    assert rc == 0 and out.stat().st_size > 0
+    g = load_exported(out)
+    z = jax.numpy.zeros((4, 8, 1, 1), jax.numpy.float32)
+    np.testing.assert_array_equal(
+        np.asarray(g.call(z)), np.asarray(generator_forward(gp, gs, z)))
+    assert not (tmp_path / "reports").exists()  # no run dir side effects
