@@ -54,3 +54,21 @@ def test_fitness_export_roundtrip(tmp_path):
         pos, gp, gs, rp, rs, rdef, jnp.asarray(2, jnp.int32)))
     np.testing.assert_array_equal(got, want)
     assert got.shape == (4,)
+
+
+def test_cross_platform_export_from_cpu(tmp_path):
+    """platforms=('tpu','cpu') lowers for BOTH backends from a CPU-only
+    process (no TPU needed at export time) and still runs on CPU."""
+    key = jax.random.key(11)
+    gp, gs = generator_init(key, GeneratorDef(z_dim=8, features_g=8))
+    p = export_generator(gp, gs, z_dim=8, batch=4, path=tmp_path / "g.shlo",
+                         platforms=("tpu", "cpu"))
+    g = load_exported(p)
+    assert tuple(g.platforms) == ("tpu", "cpu")
+    z = jax.random.normal(jax.random.key(2), (4, 8, 1, 1), jnp.float32)
+    # multi-platform lowering goes through platform-dispatch stablehlo and
+    # may fold constants differently — close, not bitwise-equal like the
+    # single-platform artifact
+    np.testing.assert_allclose(
+        np.asarray(g.call(z)), np.asarray(generator_forward(gp, gs, z)),
+        rtol=1e-5, atol=1e-6)
