@@ -67,18 +67,27 @@ def apply_discovery_fitness(
     eps: float = 0.1,
     dtype=None,
     return_images: bool = False,
+    rescale_impl: str = "xla",
 ):
     """THE discovery fitness body (single source of truth for every runner:
     closure-based, params-as-arguments, vmapped-batched, and sharded):
     positions [N,d] → z [N,d,1,1] → G forward → per-sample [0,1] rescale →
     assessor posterior column → objective (util_discovery.py:33-82).
     class_idx may be traced. dtype casts only the latents here — callers
-    on the fast-math path cast the params themselves (once)."""
+    on the fast-math path cast the params themselves (once).
+    rescale_impl='pallas' uses the fused full-lane rescale kernel
+    (ops/pallas/rescale.py) with the cast folded in."""
     z = positions.reshape(positions.shape[0], positions.shape[1], 1, 1)
     if dtype is not None:
         z = z.astype(dtype)
     img = generator_forward(gen_params, gen_state, z)  # [N,C,28,28] in [-1,1]
-    img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
+    if rescale_impl == "pallas":
+        from gan_discovery_pso_tpu.ops.pallas import rescale01_per_sample_pallas
+
+        img01 = rescale01_per_sample_pallas(
+            img.astype(jnp.float32), out_dtype=img.dtype)
+    else:
+        img01 = rescale01_per_sample(img.astype(jnp.float32)).astype(img.dtype)
     logits, _ = assessor_apply(cnn_params, cnn_state, img01, cnn_def, train=False)
     p = assessor_posterior(logits.astype(jnp.float32), class_idx)
     vals = fitness_from_posterior(p, control, threshold, eps)

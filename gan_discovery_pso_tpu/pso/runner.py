@@ -56,6 +56,7 @@ def make_batched_discovery_runner(
     eps: float = 0.1,
     dtype=None,
     unroll: int = 1,
+    rescale_impl: str = "xla",
 ):
     """The flagship batched multi-class sweep with params as ARGUMENTS:
     run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
@@ -82,7 +83,7 @@ def make_batched_discovery_runner(
                 return apply_discovery_fitness(
                     positions, gen_params_, gen_state_, cnn_params_, cnn_state_,
                     cnn_def, class_idx, control=control, threshold=threshold,
-                    eps=eps, dtype=dtype,
+                    eps=eps, dtype=dtype, rescale_impl=rescale_impl,
                 )
 
             return optimize(key, fitness, hp, unroll=unroll)

@@ -75,3 +75,31 @@ def test_optimize_use_pallas_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(o1[0].positions), np.asarray(o2[0].positions), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pallas_rescale_matches_xla():
+    """ops/pallas/rescale.py == ops.rescale.rescale01_per_sample bit-for-bit
+    at f32; in-kernel bf16 cast matches cast-after."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gan_discovery_pso_tpu.ops import rescale01_per_sample
+    from gan_discovery_pso_tpu.ops.pallas import (
+        rescale01_per_sample_pallas,
+        rescale01_rows,
+    )
+
+    x = jnp.asarray(np.random.RandomState(3).randn(13, 1, 28, 28).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(rescale01_per_sample_pallas(x)),
+        np.asarray(rescale01_per_sample(x)))
+    got16 = np.asarray(rescale01_per_sample_pallas(x, out_dtype=jnp.bfloat16))
+    want16 = np.asarray(rescale01_per_sample(x).astype(jnp.bfloat16))
+    np.testing.assert_array_equal(got16, want16)
+    # rows variant on a non-tile-aligned F
+    r = jnp.asarray(np.random.RandomState(4).randn(9, 300).astype(np.float32))
+    rr = np.asarray(rescale01_rows(r))
+    assert rr.shape == (9, 300)
+    np.testing.assert_allclose(rr.min(axis=1), 0.0, atol=0)
+    np.testing.assert_allclose(rr.max(axis=1), 1.0, atol=0)
