@@ -90,6 +90,7 @@ def main(argv=None):
         "cae", "classifiers", "dcgan", "cnn", "cnn-multipatient", "pso-discovery",
         "inverter", "iid-extract", "ood-extract", "pso-inverter",
         "regularize-inverter", "regularize-inverter-statistics", "vqvae",
+        "pixelcnn-prior",
         "pso-analysis", "pso-analysis-clustering", "pso-analysis-distance",
         "pso-inverter-analysis", "claro-preprocess", "sweep",
     ):
@@ -103,6 +104,7 @@ def main(argv=None):
         p.add_argument("--path-inverter", default=None)
         p.add_argument("--path-pso", default=None, help="pso_discovery interim dir")
         p.add_argument("--path-ood-pso", default=None, help="pso_inverter interim dir")
+        p.add_argument("--path-vqvae", default=None, help="vqvae stage model dir")
         if name in ("pso-inverter", "pso-inverter-analysis"):
             p.add_argument("--ood-patient", type=int, default=None)
         if name == "pso-discovery":
@@ -335,6 +337,12 @@ def dispatch(args):
             gp, gs = _load_gan(args)
             P.run_vqvae(ctx, gp, gs, pso_interim_dir=args.path_pso,
                         epochs=_epochs(args))
+        elif stage == "pixelcnn-prior":
+            P.run_pixelcnn_prior_from_vqvae(
+                ctx,
+                _require(args.path_vqvae, "--path-vqvae",
+                         "models dir of a vqvae run"),
+                epochs=_epochs(args))
         elif stage == "pso-analysis":
             P.run_pso_analysis(ctx, _require(args.path_pso, "--path-pso", "interim dir of a pso-discovery run"))
         elif stage == "pso-analysis-clustering":

@@ -16,6 +16,7 @@ from gan_discovery_pso_tpu.pipelines.stages import (
     run_regularize_inverter_statistics,
     run_vqvae,
     run_pixelcnn_prior,
+    run_pixelcnn_prior_from_vqvae,
 )
 from gan_discovery_pso_tpu.pipelines.pso_discovery import (
     run_pso_discovery,

@@ -804,6 +804,50 @@ def run_vqvae(
 # ---------------------------------------------------------------------------
 
 
+def run_pixelcnn_prior_from_vqvae(
+    ctx: StageContext,
+    vqvae_model_dir: str | Path,
+    epochs: int | None = None,
+    batch_size: int = 256,
+):
+    """CLI-facing wrapper: load a trained `vqvae` run, encode the training
+    set to codebook indices, and train the Gated PixelCNN prior over them
+    (the reference ships GatedPixelCNN, utils_vq_vae/util_model.py:391-448,
+    but never wires a training entry — this leg completes it)."""
+    from gan_discovery_pso_tpu.core.checkpoint import load_pytree, restore_tree
+    from gan_discovery_pso_tpu.models import vqvae_gan_encode_indices
+
+    cfg = ctx.cfg
+    d = VQVAEGanDef(
+        channels_img=ctx.data_cfg.channel,
+        embedded_dim=int(cfg.model.latent_space.embedding_dim),
+        num_embedding=int(cfg.model.latent_space.num_embedding),
+        features_g=int(cfg.model_gan.network.units_gen),
+        features_d=int(cfg.model_gan.network.units_disc),
+    )
+    ck = load_pytree(Path(vqvae_model_dir) / "best_vqvae.msgpack")
+    st = restore_tree(ck["state"])
+    params, model_state = st["params"], st["state"]
+
+    ds = ctx.dataset("train", drange=(-1, 1))
+    enc = jax.jit(lambda x: vqvae_gan_encode_indices(params, model_state, x, d))
+    idx_batches = []
+    imgs = np.asarray(ds.images)
+    for b in range(0, len(imgs), batch_size):
+        idx_batches.append(np.asarray(enc(jnp.asarray(imgs[b : b + batch_size]))))
+    indices = np.concatenate(idx_batches, axis=0)
+    labels = np.asarray(ds.labels, np.int64)
+
+    epochs = epochs if epochs is not None else 10
+    return run_pixelcnn_prior(
+        ctx, indices, labels,
+        num_embedding=d.num_embedding,
+        n_classes=int(labels.max()) + 1,
+        epochs=epochs,
+        batch_size=min(batch_size, len(labels)),
+    )
+
+
 def run_pixelcnn_prior(
     ctx: StageContext,
     indices,

@@ -306,6 +306,17 @@ def test_vqvae_and_analyses(roots, artifacts):
     # codebook was seeded from PSO particles (16 of them exist: 2 classes x 8)
     assert state.params["codebook"].shape == (16, 8)
 
+    # pixelcnn prior from the trained vqvae run (the CLI pixelcnn-prior leg)
+    from gan_discovery_pso_tpu.pipelines import run_pixelcnn_prior_from_vqvae
+
+    ctxP = StageContext.create(vq_cfg, "pixelcnn_prior")
+    ctxP.limit = 64
+    _pp, pd, phist = run_pixelcnn_prior_from_vqvae(
+        ctxP, ctxV.run.models_dir, epochs=1, batch_size=32)
+    assert (ctxP.run.models_dir / "pixelcnn.msgpack").exists()
+    assert np.isfinite(phist["train_loss"][0])
+    assert pd.input_dim == 16  # conditioned on the vqvae codebook size
+
     # analyses over the discovery artifacts
     ctxA = _ctx(roots, "pso_analysis")
     r = run_pso_analysis(ctxA, ctx5.run.interim_dir, classes=(0, 2))
