@@ -229,7 +229,7 @@ def optimize(
     n_iterations: int | None = None,
     use_pallas: bool = False,
     unroll: int = 1,
-) -> tuple[SwarmState, PsoHistory]:
+) -> tuple[SwarmState, PsoHistory, SwarmState]:
     """Full swarm optimization as ONE jitted device program.
 
     fitness_fn: positions [N,d] → values [N] (already batched over the swarm;

@@ -230,7 +230,13 @@ def make_pix_fea_rec_adv_step(
     @jax.jit
     def eval_step(state: PixFeaRecAdvState, real, key):
         bs = real.shape[0]
-        y_real = jnp.ones((bs,), jnp.float32)
+        # the reference smooths labels BEFORE the train/val phase branch
+        # (util_inverter.py:379-382), so the val adversarial term also sees
+        # U[0.7,1.2] positives
+        if label_smoothing:
+            y_real = smooth_positive(key, (bs,))
+        else:
+            y_real = jnp.ones((bs,), jnp.float32)
         fake = _decode(gen_params, gen_state, _encode(state.enc_params, real))
         l_pix = w_rec * jnp.mean((fake - real) ** 2)
         l_fea = w_fea * jnp.mean((features(fake) - features(real)) ** 2)
@@ -264,16 +270,26 @@ def invert(
     runs one image at a time; here all images optimize independently in one
     scan). x: [B,C,H,W] in [-1,1].
 
-    Returns (z [B,z,1,1], history {loss_pix, loss_reg, loss}: [iters] means)."""
+    Returns (z [B,z,1,1], history {loss_pix, loss_reg, loss}: [iters] means).
+
+    Independence: the optimized loss SUMS per-image means over the batch,
+    so each image's gradient equals its B=1 gradient and batched
+    trajectories match the reference's one-image-at-a-time runs (up to conv
+    batch-vectorization rounding; a batch MEAN would instead scale grads by
+    1/B, which Adam's eps term does not cancel). The history records
+    per-image means."""
     z0 = _encode(enc_params, x)
     tx = optax.adam(learning_rate)
+    n_img = x.shape[0]
 
     def loss_fn(z):
         x_rec = _decode(gen_params, gen_state, z)
-        loss_pix = jnp.mean((x - x_rec) ** 2)
+        pix_i = jnp.mean((x - x_rec) ** 2, axis=(1, 2, 3))  # [B]
         z_rec = _encode(enc_params, x_rec)
-        loss_reg = jnp.mean((z - z_rec) ** 2)
-        return loss_pix * loss_pix_weight + loss_reg * loss_reg_weight, (loss_pix, loss_reg)
+        reg_i = jnp.mean((z - z_rec) ** 2, axis=(1, 2, 3))  # [B]
+        loss_pix, loss_reg = jnp.sum(pix_i), jnp.sum(reg_i)
+        return loss_pix * loss_pix_weight + loss_reg * loss_reg_weight, (
+            loss_pix / n_img, loss_reg / n_img)
 
     @jax.jit
     def run(z0):
@@ -282,7 +298,7 @@ def invert(
             (loss, (lp, lr)), grads = jax.value_and_grad(loss_fn, has_aux=True)(z)
             updates, opt = tx.update(grads, opt, z)
             z = optax.apply_updates(z, updates)
-            return (z, opt), {"loss": loss, "loss_pix": lp, "loss_reg": lr}
+            return (z, opt), {"loss": loss / n_img, "loss_pix": lp, "loss_reg": lr}
 
         (z, _), hist = jax.lax.scan(step, (z0, tx.init(z0)), None, length=iterations + 1)
         return z, hist
@@ -306,23 +322,42 @@ def invert_bn(
     """Statistics-regularized inversion (util_inverter_statistics.py:476-598):
     z is re-expressed as Σ_c w_c·BN(z; μ_c, σ_c) / Σ_c w_c where (μ_c, σ_c)
     are the PSO particle-population statistics of class c and w are learnable
-    (init N(0,1), their own lr)."""
+    (init N(0,1), their own lr).
+
+    Per-image independence matches the reference, which runs one image at a
+    time (its invert asserts x.shape[0] == 1, :516): each image gets its OWN
+    weight vector w_i (returned as [B, C]) and the optimized loss sums
+    per-image pixel means, so no image's update depends on another's.
+    The returned z is the mix evaluated in the final pass BEFORE its
+    optimizer step — exactly the reference's returned z_optim."""
     if key is None:
         key = jax.random.key(0)
     z0 = _encode(enc_params, x)  # [B, d, 1, 1]
+    if class_particles.shape[-1] != z0.shape[1]:
+        raise ValueError(
+            f"PSO particles have dim_space={class_particles.shape[-1]} but "
+            f"the encoder produces z_dim={z0.shape[1]} latents — the "
+            "--path-pso run must come from a discovery sweep at this GAN's "
+            "latent dimension"
+        )
+    n_img = x.shape[0]
     n_classes = class_particles.shape[0]
-    w0 = jax.random.normal(key, (n_classes,), jnp.float32)
+    # one weight vector per image (reference: fresh weights per single-image
+    # run); all init from the same key-stream order a sequential reference
+    # sweep would draw
+    w0 = jax.random.normal(key, (n_img, n_classes), jnp.float32)
 
     # per-class population stats over (particles,) for each latent dim
     mu = jnp.mean(class_particles, axis=1)  # [C, d]
     var = jnp.mean((class_particles - mu[:, None, :]) ** 2, axis=1)  # [C, d]
 
     def mix(z, w, eps=1e-5):
-        # BN(z; class c) per class, weighted sum, normalized by Σw
+        # BN(z; class c) per class, per-image weighted sum / per-image Σw
         zn = (z[None] - mu[:, None, :, None, None]) / jnp.sqrt(
             var[:, None, :, None, None] + eps
         )  # [C, B, d, 1, 1]
-        return jnp.einsum("c,cbdhw->bdhw", w, zn) / jnp.sum(w)
+        return jnp.einsum("bc,cbdhw->bdhw", w, zn) / jnp.sum(
+            w, axis=1)[:, None, None, None]
 
     tx = optax.multi_transform(
         {"z": optax.adam(learning_rate), "w": optax.adam(weights_lr)},
@@ -332,17 +367,20 @@ def invert_bn(
     def loss_fn(p):
         z_mix = mix(p["z"], p["w"])
         x_rec = _decode(gen_params, gen_state, z_mix)
-        loss_pix = jnp.mean((x - x_rec) ** 2)
-        return loss_pix * loss_pix_weight, loss_pix
+        pix_i = jnp.mean((x - x_rec) ** 2, axis=(1, 2, 3))  # [B]
+        # SUM over images: each image's gradient equals its B=1 gradient
+        return jnp.sum(pix_i) * loss_pix_weight, (jnp.mean(pix_i), z_mix)
 
     @jax.jit
     def run(p0):
         def step(carry, _):
             p, opt = carry
-            (loss, lp), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            (loss, (lp, z_mix)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
             updates, opt = tx.update(grads, opt, p)
             p = optax.apply_updates(p, updates)
-            return (p, opt), {"loss": loss, "loss_pix": lp}
+            return (p, opt), {"loss": loss / n_img, "loss_pix": lp,
+                              "z_mix": z_mix, "w": p["w"]}
 
         params = p0
         (params, _), hist = jax.lax.scan(
@@ -350,6 +388,8 @@ def invert_bn(
         )
         return params, hist
 
-    params, hist = run({"z": z0, "w": w0})
-    z_final = mix(params["z"], params["w"])
-    return z_final, params["w"], {k: np.asarray(v) for k, v in hist.items()}
+    _params, hist = run({"z": z0, "w": w0})
+    # the final pass's PRE-step mix and the weights as of that pass
+    z_final = hist.pop("z_mix")[-1]
+    w_final = hist.pop("w")[-2] if iterations > 0 else w0
+    return z_final, w_final, {k: np.asarray(v) for k, v in hist.items()}

@@ -274,7 +274,9 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
         pso_interim_dir=ctx5.run.interim_dir, classes=(0, 2), iterations=5,
     )
     assert (ctxS.run.interim_dir / "inverted_bn_z.npz").exists()
-    assert w.shape == (2,)
+    # per-image weight vectors over the 2 classes (reference runs B=1 with
+    # fresh weights per image)
+    assert w.shape == (2, 2)
 
 
 def test_vqvae_and_analyses(roots, artifacts):

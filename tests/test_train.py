@@ -142,8 +142,50 @@ def test_invert_bn_mixes_class_statistics():
     particles = jnp.asarray(np.random.RandomState(11).randn(4, 32, 8), jnp.float32)
     z, w, hist = invert_bn(x, gp, gs, ep, particles, iterations=20)
     assert z.shape == (2, 8, 1, 1)
-    assert w.shape == (4,)
+    assert w.shape == (2, 4)  # per-image weight vectors (reference runs B=1)
     assert np.all(np.isfinite(hist["loss"]))
+
+
+def test_invert_batched_equals_per_image():
+    """The optimized loss SUMS per-image means, so a batched invert must
+    reproduce the one-image-at-a-time reference pattern up to conv
+    batch-vectorization rounding (Adam is elementwise; a batch-MEAN loss
+    would instead scale grads by 1/B and diverge materially)."""
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(20), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(21), EncoderDef(enc_dim=8, features_e=8))
+    x = jnp.asarray(np.random.RandomState(22).rand(3, 1, 28, 28) * 2 - 1, jnp.float32)
+
+    z_batched, _ = invert(x, gp, gs, ep, iterations=25)
+    for i in range(3):
+        z_single, _ = invert(x[i : i + 1], gp, gs, ep, iterations=25)
+        np.testing.assert_allclose(
+            np.asarray(z_batched[i]), np.asarray(z_single[0]),
+            rtol=0, atol=1e-5)
+
+
+def test_invert_bn_batched_equals_per_image():
+    """Per-image weight vectors + summed per-image losses: each image's
+    (z_i, w_i) trajectory is independent of its batch-mates, matching the
+    reference's single-image runs (util_inverter_statistics.py:516)."""
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(23), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(24), EncoderDef(enc_dim=8, features_e=8))
+    x = jnp.asarray(np.random.RandomState(25).rand(2, 1, 28, 28) * 2 - 1, jnp.float32)
+    particles = jnp.asarray(np.random.RandomState(26).randn(4, 32, 8), jnp.float32)
+
+    key = jax.random.key(27)
+    zb, wb, _ = invert_bn(x, gp, gs, ep, particles, iterations=15, key=key)
+    # swap a batch-mate: image 0's trajectory must not change when image 1
+    # is replaced (w0 rows are drawn per-slot from the same key, so slot 0's
+    # init is identical in both runs; only coupling could differ the result)
+    x_other = jnp.concatenate(
+        [x[:1], -x[1:]], axis=0)  # same image 0, different image 1
+    zd, wd, _ = invert_bn(x_other, gp, gs, ep, particles, iterations=15, key=key)
+    np.testing.assert_allclose(np.asarray(zd[0]), np.asarray(zb[0]), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wd[0]), np.asarray(wb[0]), rtol=0, atol=1e-6)
+    # and the swapped-in image 1 produced a different result than original
+    assert not np.allclose(np.asarray(zd[1]), np.asarray(zb[1]))
 
 
 def test_vqvae_frozen_decoder_stays_frozen():
