@@ -89,14 +89,20 @@ def load_mnist(
     if image_size != images.shape[-1]:
         import jax.image
 
+        # jax.image.resize antialiases on downsampling (its default); PIL's
+        # transforms.Resize (the reference path, util_data.py:41) uses a
+        # slightly different filter, so non-native image_size runs are
+        # numerically close to but not bitwise the reference's pixels — the
+        # only reference config is the native 28 (dcgan_mnist.yaml:11)
         images = np.asarray(
             jax.image.resize(
                 jnp.asarray(images), (images.shape[0], image_size, image_size), "bilinear"
             )
         )
 
-    lo, hi = drange
-    images = images * (hi - lo) + lo
+    from gan_discovery_pso_tpu.ops.rescale import adjust_dynamic_range
+
+    images = np.asarray(adjust_dynamic_range(images, (0, 1), drange))
     return ImageDataset(
         images=jnp.asarray(images[:, None, :, :], jnp.float32),
         labels=jnp.asarray(labels, jnp.int32),

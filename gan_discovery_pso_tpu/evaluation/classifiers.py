@@ -74,10 +74,13 @@ def compute_posterior(
 
 
 def assign_labels(battery: KnnBattery, encoding: jax.Array):
-    """(p_yx, argmax labels) — the `assign_label` branch
-    (util_classifiers.py:45-53; softmax then argmax ≡ argmax)."""
+    """(p_yx, argmax COLUMN indices) — the `assign_label` branch
+    (util_classifiers.py:45-53; softmax then argmax ≡ argmax). The
+    reference returns column indices, not class values (they differ for
+    non-contiguous iid class lists); map through `battery.classes` when
+    the actual label is wanted: `battery.classes[idx]`."""
     p_yx = compute_posterior(battery, encoding)
-    return p_yx, jnp.take(battery.classes, jnp.argmax(p_yx, axis=1))
+    return p_yx, jnp.argmax(p_yx, axis=1)
 
 
 def error_reject_points(

@@ -63,6 +63,15 @@ class GanEvalResult(NamedTuple):
     variance: jax.Array  # [N]
 
 
+# module-level with params as ARGUMENTS: one executable serves every epoch
+# and every CAE of the same shapes (a per-call @jax.jit closure would start
+# with an empty jit cache each epoch and retrace twice per call)
+@jax.jit
+def _cae_encode(cae_enc, cae_enc_state, imgs):
+    z, _ = cae_encoder_apply(cae_enc, cae_enc_state, imgs, train=False)
+    return z
+
+
 def evaluate_gan_epoch(
     key,
     sample_fn,
@@ -77,18 +86,20 @@ def evaluate_gan_epoch(
     n_synthetic: int = 12800,
     noise_factor: float = 0.3,
     chunk: int = 1280,
+    enc_real: jax.Array | None = None,
 ) -> GanEvalResult:
     """The full per-epoch eval (reference util_dcgan.py:240-270):
     sample n_synthetic images (chunked to bound HBM), CAE-encode real +
     synthetic, FID, battery-posterior IS, denoise recon on synthetic.
 
-    real_images01: [M,C,H,W] in [0,1] (the val loader's drange)."""
+    real_images01: [M,C,H,W] in [0,1] (the val loader's drange).
+    enc_real: optional precomputed CAE embeddings of real_images01 — the
+    frozen CAE makes them constant across a GAN run, so epoch loops should
+    encode the val set ONCE and pass them in (run_dcgan does)."""
     ks, kn = jax.random.split(key)
 
-    @jax.jit
     def encode(imgs):
-        z, _ = cae_encoder_apply(cae_enc, cae_enc_state, imgs, train=False)
-        return z
+        return _cae_encode(cae_enc, cae_enc_state, imgs)
 
     syn_chunks = []
     emb_syn = []
@@ -99,7 +110,8 @@ def evaluate_gan_epoch(
         emb_syn.append(encode(imgs))
     synthetic = jnp.concatenate(syn_chunks, axis=0)
     enc_syn = jnp.concatenate(emb_syn, axis=0)
-    enc_real = encode(real_images01)
+    if enc_real is None:
+        enc_real = encode(real_images01)
 
     fid = fid_from_features(enc_real, enc_syn)
     p_yx = compute_posterior(battery, enc_syn)

@@ -185,6 +185,11 @@ def run_dcgan(
 
     ds = ctx.dataset("train", drange=(-1, 1))
     val = ctx.dataset("test", drange=(0, 1))
+    # the frozen CAE makes the real-val embeddings constant across the whole
+    # run — encode ONCE here instead of once per epoch inside the eval
+    from gan_discovery_pso_tpu.evaluation.gan_eval import _cae_encode
+
+    enc_real = _cae_encode(cae_state.enc_params, cae_state.enc_state, val.images)
 
     state, _ = gan_init(ctx.keys("gan"), gdef, ddef, adam)
     offset = 0
@@ -246,7 +251,7 @@ def run_dcgan(
             jax.random.fold_in(eval_base, ep), sampler, state.gen_params, state.gen_state,
             cae_state.enc_params, cae_state.enc_state,
             cae_state.dec_params, cae_state.dec_state,
-            battery, val.images, n_synthetic=n_synthetic,
+            battery, val.images, n_synthetic=n_synthetic, enc_real=enc_real,
         )
         fid, is_score = float(res.fid), float(res.inception_score)
         rec = float(res.rec_loss_syn)
