@@ -104,24 +104,25 @@ def discriminator_init(key, d: DiscriminatorDef, dcgan_init: bool = True):
     return params, {}  # no BN in the reference D (commented out, util_dcgan.py:120)
 
 
-def discriminator_apply(params, state, x, train: bool = False):
-    del train  # D is stateless
+def _disc_trunk(params, x):
+    """Shared pre-sigmoid conv trunk — single source of truth for BOTH the
+    sigmoid forward and the stable-BCE logits path."""
     h = conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2, padding=1)
     h = jax.nn.leaky_relu(h, 0.2)
     h = conv2d(h, params["conv2"]["w"], params["conv2"]["b"], stride=2, padding=1)
     h = jax.nn.leaky_relu(h, 0.2)
-    h = conv2d(h, params["conv3"]["w"], params["conv3"]["b"], stride=2, padding=0)
-    return jax.nn.sigmoid(h), state
+    return conv2d(h, params["conv3"]["w"], params["conv3"]["b"], stride=2, padding=0)
+
+
+def discriminator_apply(params, state, x, train: bool = False):
+    del train  # D is stateless
+    return jax.nn.sigmoid(_disc_trunk(params, x)), state
 
 
 def discriminator_logits(params, x):
     """Pre-sigmoid logits [N] — used by losses that want the stable
     `sigmoid_binary_cross_entropy` formulation."""
-    h = conv2d(x, params["conv1"]["w"], params["conv1"]["b"], stride=2, padding=1)
-    h = jax.nn.leaky_relu(h, 0.2)
-    h = conv2d(h, params["conv2"]["w"], params["conv2"]["b"], stride=2, padding=1)
-    h = jax.nn.leaky_relu(h, 0.2)
-    h = conv2d(h, params["conv3"]["w"], params["conv3"]["b"], stride=2, padding=0)
+    h = _disc_trunk(params, x)
     return h.reshape(h.shape[0])
 
 

@@ -68,7 +68,9 @@ def encoder_attgan_init(key, d: EncoderAttGANDef):
     n_in = d.channels_img
     for i in range(d.enc_layers):
         n_out = min(d.features_e * 2**i, d.enc_dim)
-        params[f"conv{i}"] = L.conv_params(keys[i], n_in, n_out, 4)
+        # reference Conv2dBlock: bias only when norm_fn == 'none'
+        # (util_nn.py:80); AttGAN uses batchnorm -> bias=False
+        params[f"conv{i}"] = L.conv_params(keys[i], n_in, n_out, 4, bias=False)
         params[f"bn{i}"] = L.bn_params(n_out)
         state[f"bn{i}"] = L.bn_state(n_out)
         n_in = n_out
@@ -80,7 +82,8 @@ def encoder_attgan_apply(params, state, x, train: bool = False):
     h = x
     i = 0
     while f"conv{i}" in params:
-        h = conv2d(h, params[f"conv{i}"]["w"], params[f"conv{i}"]["b"], stride=2, padding=1)
+        h = conv2d(h, params[f"conv{i}"]["w"], params[f"conv{i}"].get("b"),
+                   stride=2, padding=1)
         if train:
             h, new_state[f"bn{i}"] = batch_norm_train(
                 h, params[f"bn{i}"]["scale"], params[f"bn{i}"]["bias"], state[f"bn{i}"]

@@ -135,7 +135,14 @@ def bn_state(channels):
 # -- functional applications -------------------------------------------------
 
 
-def linear(p, x, *, precision=jax.lax.Precision.HIGHEST):
+def linear(p, x, *, precision=None):
+    # consult the precision policy at TRACE time like ops/conv.py does, so
+    # fast_math() relaxes fully-connected matmuls too (a baked-in HIGHEST
+    # default kept fc layers at multi-pass f32 emulation on the fast path)
+    if precision is None:
+        from gan_discovery_pso_tpu.ops.precision import default_precision
+
+        precision = default_precision()
     y = jnp.matmul(x, p["w"].T, precision=precision)
     if "b" in p:
         y = y + p["b"]

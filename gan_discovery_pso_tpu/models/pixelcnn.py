@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -60,7 +62,11 @@ def pixelcnn_init(key, d: PixelCNNDef):
     params["layers"] = layers
     params["out1"] = L.conv_params(next(keys), d.dim, 512, 1, init="glorot_uniform")
     params["out2"] = L.conv_params(next(keys), 512, d.input_dim, 1, init="glorot_uniform")
-    return params
+    # weights_init zeroes every conv bias (util_model.py:39-46, applied at
+    # :421) — embeddings keep N(0,1)
+    from gan_discovery_pso_tpu.models.vqvae import _zero_conv_biases
+
+    return _zero_conv_biases(params)
 
 
 def _gate(x):
@@ -122,15 +128,22 @@ def pixelcnn_loss(params, d: PixelCNNDef, idx, label):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("d",))
+def _pixelcnn_fwd(params, d: PixelCNNDef, idx, label):
+    # module-level with params as arguments: one executable per shape across
+    # every pixelcnn_generate call (a per-call jit closure re-traced the
+    # full gated stack on each invocation)
+    return pixelcnn_apply(params, d, idx, label)
+
+
 def pixelcnn_generate(params, d: PixelCNNDef, key, label: jax.Array,
                       shape=(8, 8)) -> jax.Array:
     """Raster-order sampling (reference generate, util_model.py:434-448)."""
     n = label.shape[0]
     x = jnp.zeros((n, *shape), jnp.int32)
-    fwd = jax.jit(lambda idx: pixelcnn_apply(params, d, idx, label))
     for i in range(shape[0]):
         for j in range(shape[1]):
-            logits = fwd(x)  # [N, K, H, W]
+            logits = _pixelcnn_fwd(params, d, x, label)  # [N, K, H, W]
             key, sub = jax.random.split(key)
             samp = jax.random.categorical(sub, logits[:, :, i, j], axis=-1)
             x = x.at[:, i, j].set(samp.astype(jnp.int32))

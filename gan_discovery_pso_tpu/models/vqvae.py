@@ -170,19 +170,23 @@ def _vqvae_gan_encode(enc, enc_state, x, train):
     return z_e, {"bn2": s2}
 
 
-def vqvae_gan_apply(params, state, x, d: VQVAEGanDef, train: bool = False):
+def vqvae_gan_apply(params, state, x, d: VQVAEGanDef, train: bool = False,
+                    frozen_decoder: bool = True):
     """x → (x_tilde, z_e, z_q_bar, indices, new_state). Mirrors the reference
-    forward contract (x̃, z_e_x, z_q_x) (util_model.py:318-322)."""
+    forward contract (x̃, z_e_x, z_q_x) (util_model.py:318-322).
+
+    frozen_decoder=True keeps the pretrained-G decoder's BN in eval mode so
+    its running stats never drift — the reference calls decoder.eval() when
+    train_inverter is set (util_training.py:14-16). With a from-scratch
+    decoder (frozen_decoder=False) the reference trains decoder BN like any
+    other layer, so the decoder follows `train` here."""
     z_e, enc_state = _vqvae_gan_encode(params["encoder"], state["encoder"], x, train)
     z_q_st, z_q_bar, idx = vq_straight_through(z_e, params["codebook"])
     x_tilde, dec_state = generator_apply(
         params["decoder"],
         state["decoder"],
         z_q_st,
-        # the reference keeps the frozen decoder in eval mode during training
-        # (decoder.eval() via freeze_parameters usage); BN running stats of a
-        # frozen pretrained G must not drift:
-        train=False,
+        train=(train and not frozen_decoder),
     )
     return x_tilde, z_e, z_q_bar, idx, {"encoder": enc_state, "decoder": dec_state}
 
@@ -213,6 +217,22 @@ class VQVAEDef(NamedTuple):
     channels_img: int = 1
     embedded_dim: int = 64
     num_embedding: int = 512
+
+
+def _zero_conv_biases(tree):
+    """The reference's weights_init fills EVERY Conv* bias with 0 after
+    xavier_uniform weights (util_model.py:39-46, self.apply at :221/:263) —
+    recursively zero the conv 'b' leaves (BN params use 'bias'/'scale' keys
+    and are untouched)."""
+    def z(d):
+        if isinstance(d, dict):
+            return {k: (jnp.zeros_like(v) if k == "b" else z(v))
+                    for k, v in d.items()}
+        if isinstance(d, list):
+            return [z(v) for v in d]
+        return d
+
+    return z(tree)
 
 
 def _resblock_bn_init(key, dim):
@@ -272,7 +292,7 @@ def vqvae_init(key, d: VQVAEDef, data_pso=None):
         "dec_res2": _resblock_bn_state(dim),
         "dec_bn1": L.bn_state(dim),
     }
-    return params, state
+    return _zero_conv_biases(params), state
 
 
 def vqvae_apply(params, state, x, d: VQVAEDef, train: bool = False):
@@ -328,7 +348,7 @@ def vqvae_mnist_init(key, d: VQVAEMnistDef, data_pso=None):
         "dec_convt2": L.conv_transpose_params(next(ks), nh, nh // 2, 4, init="glorot_uniform"),
         "dec_convt3": L.conv_transpose_params(next(ks), nh // 2, d.channels_img, 4, init="glorot_uniform"),
     }
-    return params, {}
+    return _zero_conv_biases(params), {}
 
 
 def vqvae_mnist_apply(params, state, x, d: VQVAEMnistDef, train: bool = False):

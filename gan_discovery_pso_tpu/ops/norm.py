@@ -44,7 +44,11 @@ def batch_norm_train(
     """Training-mode BN over NCHW (reduce N,H,W). Returns (y, new_stats)."""
     mean = jnp.mean(x, axis=axes)
     var = jnp.var(x, axis=axes)  # biased — used for normalization
-    n = x.size // x.shape[1]
+    # element count per channel = product of the REDUCED axes' sizes (not
+    # size//shape[1], which silently assumes the channel axis is 1)
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
     unbiased = var * (n / max(n - 1, 1))  # used for the running update
     shape = _bshape(x, axes)
     inv = jax.lax.rsqrt(var.reshape(shape) + eps)

@@ -69,7 +69,8 @@ def make_vqvae_steps(d: VQVAEGanDef, adam: AdamConfig, beta: float = 0.25, froze
     def train_step(state: VqvaeTrainState, x):
         def loss_fn(p):
             x_tilde, z_e, z_q_bar, _idx, new_ms = vqvae_gan_apply(
-                p, state.model_state, x, d, train=True
+                p, state.model_state, x, d, train=True,
+                frozen_decoder=frozen_decoder,
             )
             lr_, lvq, lc = vq_loss_terms(x, x_tilde, z_e, z_q_bar, beta)
             return lr_ + lvq + lc, (lr_, lvq, lc, new_ms)
