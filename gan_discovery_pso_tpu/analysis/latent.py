@@ -3,8 +3,9 @@
 Host-side by design (these are offline, matplotlib/sklearn-shaped workloads,
 SURVEY.md §7 layer 7), mirroring reference src/utils/util_latent_analysis.py:
 
-- PCA (:16-43) and UMAP (:45-64; gated — this image lacks umap-learn, so a
-  clearly-labelled PCA fallback keeps pipelines runnable);
+- PCA (:16-43) and UMAP (:45-64; umap-learn is uninstallable here, so the
+  embedding comes from the from-scratch implementation of the published
+  algorithm in analysis/umap_impl.py — a real UMAP, not a fallback);
 - KMeans (:245-270) and GMM/EM (:272-300) with the same factory string
   names ('kmeans' / 'em' / 'expectation_maximization', :8-14);
 - Voronoi regions with infinite-region reconstruction (:66-166);

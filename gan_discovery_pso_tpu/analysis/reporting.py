@@ -80,10 +80,15 @@ def plot_fitness_landscape_2d(
 
 
 def make_gif(frame_paths, out_path, duration_ms: int = 200):
-    """Frames → GIF (reference util_report.py:75-79, natsorted input)."""
+    """Frames → GIF (reference util_report.py:75-79, natsorted input).
+    Frames are materialized and closed up front — hundreds of lazily-open
+    PIL handles would exhaust the fd limit on long runs."""
     from PIL import Image
 
-    frames = [Image.open(p) for p in frame_paths]
+    frames = []
+    for p in frame_paths:
+        with Image.open(p) as im:
+            frames.append(im.copy())
     if not frames:
         raise ValueError("no frames")
     frames[0].save(
@@ -335,17 +340,30 @@ class CvEvaluator:
             })
         return rows
 
+    # the ratio keys the reference aggregates over; MEAN/STD rows exclude
+    # the raw confusion counts (on_experiments_end, util_report.py:413-422)
+    RATIO_KEYS = ("accuracy", "precision", "recall", "f1", "auc",
+                  "specificity", "g")
+
     def write_results_xlsx(self, path, group: str = "slices"):
-        """results.xlsx score table: one row per fold + a MEAN row
+        """results.xlsx score table: one row per fold + MEAN and STD rows
         (reference write_to_excel, util_report.py:275-289, called per fold
-        at :385 and with fold='MEAN' at :421)."""
+        at :385 and with fold='MEAN'/'STD' at :420-422). Aggregates use
+        np.mean/np.std over the RATIO keys only — NaN folds propagate like
+        the reference's np.mean does; count columns stay empty in the
+        aggregate rows."""
         from gan_discovery_pso_tpu.data.xlsx import write_xlsx
 
         rows = self.fold_metrics()
-        cols: dict = {"fold": [*range(len(rows)), "MEAN"], "group": [group] * (len(rows) + 1)}
+        cols: dict = {"fold": [*range(len(rows)), "MEAN", "STD"],
+                      "group": [group] * (len(rows) + 2)}
         for k in self.METRIC_KEYS:
             vals = [float(r[k]) for r in rows]
-            cols[k] = vals + [float(np.nanmean(vals)) if vals else float("nan")]
+            if k in self.RATIO_KEYS:
+                cols[k] = vals + [float(np.mean(vals)) if vals else float("nan"),
+                                  float(np.std(vals)) if vals else float("nan")]
+            else:
+                cols[k] = vals + [None, None]
         return write_xlsx(path, cols)
 
     def plot_roc(self, out_path, title="ROC (CV)"):

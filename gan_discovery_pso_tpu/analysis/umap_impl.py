@@ -22,7 +22,9 @@ implements the published algorithm directly:
    instead of umap-learn's sequential numba loop.
 
 `transform(new)` embeds out-of-sample points at the membership-weighted
-mean of their kNN's embeddings followed by a short attract-only refinement —
+mean of their kNN's embeddings followed by a short refinement (attraction
+plus negative-sampling repulsion against the FROZEN reference embedding,
+like umap-learn's transform) —
 the same construction umap-learn uses for its transform initialization.
 
 This is a clean-room implementation from the paper; results are a genuine

@@ -81,6 +81,11 @@ class Config(Mapping):
             *parents, leaf = dotted.split(".")
             for p in parents:
                 node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    raise KeyError(
+                        f"override {dotted!r}: {p!r} is a scalar "
+                        f"({node!r}), not a block — check the dotted path"
+                    )
             node[leaf] = value
         return Config(data, self._path)
 
@@ -164,10 +169,11 @@ class AdamConfig:
     beta2: float = 0.999
     epsilon: float = 1e-8
     weight_decay: float = 0.0
+    name: str = "Adam"  # "Adam" | "RMSprop" — make_optimizer dispatches on it
 
     @classmethod
     def from_config(cls, block: Mapping[str, Any]) -> "AdamConfig":
-        name = block.get("name", "Adam")
+        name = str(block.get("name", "Adam"))
         if name not in ("Adam", "RMSprop"):
             raise ValueError(f"unknown optimizer {name!r}")
         return cls(
@@ -176,6 +182,7 @@ class AdamConfig:
             beta2=float(block.get("beta2", 0.999)),
             epsilon=float(block.get("epsilon", 1e-8)),
             weight_decay=float(block.get("weight_decay", 0.0)),
+            name=name,
         )
 
 

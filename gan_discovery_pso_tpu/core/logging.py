@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -102,7 +103,11 @@ class MetricsWriter:
         for k, v in metrics.items():
             row[k] = float(np.asarray(v))
         self._rows.append(row)
-        self._jsonl.write(json.dumps(row) + "\n")
+        # strict JSON: nan/inf have no JSON literal (json.dumps would emit
+        # bare NaN tokens that break jq/pandas.read_json); write them as null
+        safe = {k: (v if not isinstance(v, float) or math.isfinite(v) else None)
+                for k, v in row.items()}
+        self._jsonl.write(json.dumps(safe, allow_nan=False) + "\n")
         if self._tb is not None:
             for k, v in row.items():
                 if k != "step":

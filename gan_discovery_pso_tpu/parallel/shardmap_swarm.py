@@ -9,7 +9,7 @@ exact recipe): particles shard over mesh axis "swarm"; each iteration does
     → one-hot-masked `lax.psum` to broadcast the winning position
     → local velocity/position update.
 
-Exactly TWO collectives per iteration, each a few hundred bytes — ICI
+Exactly THREE collectives per iteration (two pmin + one psum), each a few hundred bytes — ICI
 latency-bound, trivially scalable. Trajectories are deterministic and match
 the single-device optimize bit-for-bit up to fp32 reassociation (the
 per-particle r1/r2 are derived from the global key and sliced per shard).
@@ -128,7 +128,6 @@ def make_shardmap_optimize(
         )
         return pos, vel, pbp, pbv, gbp, gbv, trace
 
-    sh = lambda spec: P(*spec)
     mapped = shard_map(
         body,
         mesh=mesh,

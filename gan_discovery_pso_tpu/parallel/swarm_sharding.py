@@ -81,15 +81,17 @@ def make_sharded_optimize(
         lambda key: optimize(key, fitness_fn, hp),
         out_shardings=out_shardings,
     )
+    # built ONCE: a jit wrapper constructed inside run_seeded would retrace
+    # (and, cache-cold, recompile) the identical program on every seeded call
+    seeded = jax.jit(
+        lambda k, p: optimize(k, fitness_fn, hp, init_positions=p),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
+        out_shardings=out_shardings,
+    )
 
     def run_seeded(key, init_positions=None):
         if init_positions is None:
             return run(key)
-        seeded = jax.jit(
-            lambda k, p: optimize(k, fitness_fn, hp, init_positions=p),
-            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
-            out_shardings=out_shardings,
-        )
         return seeded(key, init_positions)
 
     return run_seeded

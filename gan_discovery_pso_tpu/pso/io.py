@@ -69,35 +69,40 @@ def save_particle_histories(
 
 
 def load_final_particle_positions(
-    interim_dir: str | Path, label, kind: str = "iid", n_particles=None, dim_space=None
+    interim_dir: str | Path, label, kind: str = "iid",
+    n_particles: int | None = None, dim_space: int | None = None,
 ) -> np.ndarray:
     """Final-iteration positions [N, d] — what the VQ-VAE codebook init reads
     (reference vq_vae.py:35-57 `upload_pso_disentangled_space`). Prefers the
-    native npz, falls back to either pickle spelling."""
+    native npz, falls back to either pickle spelling. n_particles/dim_space,
+    when given, validate the artifact's shape (the reference signature
+    carries them for the same purpose, util_pso_analysis.py:16)."""
+    pos = load_particle_trajectories(interim_dir, label, kind)[-1]
+    if n_particles is not None and pos.shape[0] != n_particles:
+        raise ValueError(
+            f"class {label}: artifact has {pos.shape[0]} particles, "
+            f"expected {n_particles}")
+    if dim_space is not None and pos.shape[1] != dim_space:
+        raise ValueError(
+            f"class {label}: artifact has dim_space={pos.shape[1]}, "
+            f"expected {dim_space}")
+    return pos
+
+
+def load_particle_trajectories(interim_dir: str | Path, label, kind: str = "iid") -> np.ndarray:
+    """[iters+1, N, d] full trajectories (analysis consumers,
+    reference util_pso_analysis.py:16-34). Prefers the native npz, falls
+    back to either pickle spelling (incl. the `iic` filename alias)."""
     interim_dir = Path(interim_dir)
     npz = interim_dir / f"particles_{kind}_class_{label}.npz"
     if npz.exists():
-        return np.load(npz)["positions"][-1]
+        return np.load(npz)["positions"]
     for stem in (f"particles_position_{kind}_class_{label}.pkl",
                  f"particles_position_iic_class_{label}.pkl"):
         p = interim_dir / stem
         if p.exists():
             with open(p, "rb") as f:
                 hist = pickle.load(f)
-            rows = [hist[k].iloc[-1, :].to_numpy(np.float32) for k in hist]
-            return np.stack(rows, axis=0)
+            mats = [hist[k].to_numpy(np.float32) for k in hist]
+            return np.stack(mats, axis=1)
     raise FileNotFoundError(f"no particle artifact for class {label} in {interim_dir}")
-
-
-def load_particle_trajectories(interim_dir: str | Path, label, kind: str = "iid") -> np.ndarray:
-    """[iters+1, N, d] full trajectories (analysis consumers,
-    reference util_pso_analysis.py:16-34)."""
-    interim_dir = Path(interim_dir)
-    npz = interim_dir / f"particles_{kind}_class_{label}.npz"
-    if npz.exists():
-        return np.load(npz)["positions"]
-    p = interim_dir / f"particles_position_{kind}_class_{label}.pkl"
-    with open(p, "rb") as f:
-        hist = pickle.load(f)
-    mats = [hist[k].to_numpy(np.float32) for k in hist]
-    return np.stack(mats, axis=1)

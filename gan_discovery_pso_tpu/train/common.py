@@ -14,9 +14,13 @@ import optax
 from gan_discovery_pso_tpu.core.config import AdamConfig
 
 
-def make_optimizer(cfg: AdamConfig, name: str = "Adam") -> optax.GradientTransformation:
+def make_optimizer(cfg: AdamConfig, name: str | None = None) -> optax.GradientTransformation:
     """Adam/RMSprop with the reference's hyper-parameter names. weight_decay
-    is torch-style L2-into-gradient (additive), matching optim.Adam."""
+    is torch-style L2-into-gradient (additive), matching optim.Adam.
+    The optimizer kind comes from the config block's `name` (a YAML
+    `name: RMSprop` used to be validated and then silently ignored)."""
+    if name is None:
+        name = getattr(cfg, "name", "Adam")
     if name == "Adam":
         tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.epsilon)
     elif name == "RMSprop":

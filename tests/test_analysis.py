@@ -187,10 +187,19 @@ def test_cv_evaluator_and_error_reject(tmp_path):
 
     p = ev.write_results_xlsx(tmp_path / "results.xlsx")
     table = read_xlsx(p)
-    assert table["fold"] == [0.0, 1.0, 2.0, "MEAN"]
+    # per-fold rows + the reference's MEAN and STD aggregate rows
+    # (on_experiments_end, util_report.py:413-422)
+    assert table["fold"] == [0.0, 1.0, 2.0, "MEAN", "STD"]
     for k in ev.METRIC_KEYS:
-        assert len(table[k]) == 4
-        assert abs(table[k][3] - np.nanmean(table[k][:3])) < 1e-9
+        assert len(table[k]) == 5
+        if k in ev.RATIO_KEYS:
+            # np.mean/np.std over the folds (NaN folds would propagate,
+            # matching the reference aggregate)
+            assert abs(table[k][3] - np.mean(table[k][:3])) < 1e-9
+            assert abs(table[k][4] - np.std(table[k][:3])) < 1e-9
+        else:
+            # confusion counts are per-fold only; aggregates stay empty
+            assert table[k][3] is None and table[k][4] is None
 
     # reference reliability-threshold sweep: 90 points, percentages
     rr, err = reporting.error_reject_curve(y, s, tmp_path / "er.png", label=1)

@@ -121,3 +121,24 @@ def test_format_time():
     assert format_time(30) == "30s"
     assert format_time(90) == "1m 30s"
     assert format_time(3700) == "1h 01m 40s"
+
+
+def test_optimizer_name_reaches_make_optimizer():
+    """A YAML `optimizer: {name: RMSprop}` must actually build RMSprop —
+    the name used to be validated and then silently dropped."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_discovery_pso_tpu.core.config import AdamConfig
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+
+    cfg = AdamConfig.from_config({"name": "RMSprop", "lr": 0.1})
+    assert cfg.name == "RMSprop"
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    tx_r = make_optimizer(cfg)
+    tx_a = make_optimizer(AdamConfig.from_config({"name": "Adam", "lr": 0.1}))
+    up_r, _ = tx_r.update(grads, tx_r.init(params), params)
+    up_a, _ = tx_a.update(grads, tx_a.init(params), params)
+    # the two optimizers take visibly different first steps
+    assert not np.allclose(np.asarray(up_r["w"]), np.asarray(up_a["w"]))
