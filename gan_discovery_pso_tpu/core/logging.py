@@ -98,6 +98,25 @@ class MetricsWriter:
             except ImportError:
                 pass
 
+    def drop_rows_from(self, step: int) -> None:
+        """Rewrite the jsonl keeping only rows with step < `step` — the
+        resume path calls this after reconciling the canonical msgpack
+        history, so a re-run epoch does not leave two contradictory rows
+        for the same step in the append-mode artifact."""
+        path = self.out_dir / f"{self.name}.jsonl"
+        self._jsonl.close()
+        kept = []
+        if path.exists():
+            for line in open(path):
+                try:
+                    if int(json.loads(line).get("step", -1)) < step:
+                        kept.append(line)
+                except (ValueError, json.JSONDecodeError):
+                    continue
+        with open(path, "w") as f:
+            f.writelines(kept)
+        self._jsonl = open(path, "a", buffering=1)
+
     def append(self, step: int, **metrics) -> None:
         row = {"step": int(step)}
         for k, v in metrics.items():

@@ -27,6 +27,12 @@ from gan_discovery_pso_tpu.pso import (
 )
 
 
+
+def _seed(ctx) -> int:
+    """Config seed with a None-only fallback (seed: 0 is a real seed)."""
+    seed = ctx.cfg.get("seed", 42)
+    return int(42 if seed is None else seed)
+
 def _stack_classes(interim_dir, classes, kind="iid"):
     """Final positions of every class stacked: ([sum_N, d], labels)."""
     mats, labels = [], []
@@ -85,7 +91,7 @@ def run_pso_analysis_clustering(
 
     data, labels = _stack_classes(pso_interim_dir, classes, kind)
     cl_labels, centers, model = cluster_latents(data, algorithm, len(classes),
-                                                seed=int(ctx.cfg.get("seed", 42) or 42))
+                                                seed=_seed(ctx))
     p2 = pca_project(np.vstack([data, centers]), 2)
     reporting.plot_scatter_2d(
         p2[: len(data)], cl_labels, ctx.run.reports_dir / "clusters.png",
@@ -108,8 +114,17 @@ def run_pso_analysis_clustering(
         )
         import json
 
+        # per-label PER-PARTICLE assignments + counts (a dict keyed by label
+        # alone would collapse every particle of a class onto one entry)
+        by_label: dict = {}
+        for l, a in zip(ood_lab, assignment):
+            by_label.setdefault(str(l), []).append(int(a))
         with open(ctx.run.reports_dir / "ood_cluster_assignment.json", "w") as f:
-            json.dump({str(l): int(a) for l, a in zip(ood_lab, assignment)}, f)
+            json.dump({
+                lab: {"assignment": asg,
+                      "counts": {str(c): asg.count(c) for c in sorted(set(asg))}}
+                for lab, asg in by_label.items()
+            }, f, indent=2)
     return result
 
 
@@ -139,7 +154,7 @@ def run_pso_inverter_analysis(
     classes = classes if classes is not None else ctx.data_cfg.iid_classes
     if algorithm is None:
         algorithm = str(ctx.cfg.trainer_pso_analysis.clustering_algorithm)
-    seed = int(ctx.cfg.get("seed", 42) or 42)
+    seed = _seed(ctx)
     plot_dir = ctx.run.reports_dir / "training_plot"
     plot_dir.mkdir(parents=True, exist_ok=True)
 

@@ -59,7 +59,8 @@ class StageContext:
             run_id=run_id,
         )
         run.snapshot_config(cfg)
-        keys = seed_all(int(cfg.get("seed", 42) or 42))
+        seed = cfg.get("seed", 42)
+        keys = seed_all(int(42 if seed is None else seed))
         return cls(
             cfg=cfg,
             data_cfg=data_cfg,
@@ -89,12 +90,19 @@ class StageContext:
             )
         return ds
 
-    def batches(self, ds: ImageDataset, batch_size: int):
-        """epoch_idx → iterator of (x, y) batches, deterministically keyed."""
+    def batches(self, ds: ImageDataset, batch_size: int, drop_last: bool = True):
+        """epoch_idx → iterator of (x, y) batches, deterministically keyed.
+
+        drop_last=True is the torch-DataLoader-matching TRAIN default (fixed
+        batch shapes → one compiled step). Pass drop_last=False for VAL/EVAL
+        loops so the ragged tail is scored too — with drop_last a val set
+        smaller than batch_size silently yields ZERO batches and every val
+        metric becomes NaN."""
 
         def make(epoch: int):
             return epoch_batches(
-                ds, batch_size, self.keys.peek(f"epoch_{epoch}")
+                ds, batch_size, self.keys.peek(f"epoch_{epoch}"),
+                drop_last=drop_last,
             )
 
         return make

@@ -75,7 +75,8 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
     bs = int(cfg.trainer_ae.batch_size)
     epochs = epochs if epochs is not None else int(cfg.trainer_ae.epochs)
     task = str(cfg.model_ae.task)
-    noise_factor = float(cfg.model_ae.get("noise_factor", 0.3) or 0.3)
+    _nf = cfg.model_ae.get("noise_factor", 0.3)
+    noise_factor = float(0.3 if _nf is None else _nf)  # 0.0 is a valid choice
 
     ds = ctx.dataset("train", drange=(0, 1))
     val = ctx.dataset("test", drange=(0, 1))
@@ -84,7 +85,7 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
 
     state, history = train_cae(
         ctx.keys("cae"), d, adam,
-        ctx.batches(ds, bs), ctx.batches(val, bs),
+        ctx.batches(ds, bs), ctx.batches(val, bs, drop_last=False),
         num_epochs=epochs, task=task, noise_factor=noise_factor,
         metrics_writer=ctx.metrics("history_cae"),
     )
@@ -129,7 +130,8 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
     labels = np.asarray(ds.labels)
     block = ctx.cfg.get("model_classifiers") or {}
     k = int(block.get("n_neighbors", 5) or 5)  # reference classifiers.py:184
-    val_fraction = float(block.get("val_fraction", 0.2) or 0.2)
+    _vf = block.get("val_fraction", 0.2)
+    val_fraction = float(0.2 if _vf is None else _vf)  # 0.0 = no holdout
     battery = train_classifier_battery(emb, labels, k=k, val_fraction=val_fraction)
     save_battery(ctx.run.models_dir / "classifiers.msgpack", battery)
 
@@ -182,6 +184,8 @@ def run_dcgan(
     if n_synthetic is None:
         n_synthetic = bs * 100  # reference util_dcgan.py:243
     label_smoothing = bool(cfg.trainer_gan.get("label_smoothing", True))
+    _nf = cfg.model_ae.get("noise_factor", 0.3)
+    noise_factor = float(0.3 if _nf is None else _nf)  # match the CAE's training noise
 
     ds = ctx.dataset("train", drange=(-1, 1))
     val = ctx.dataset("test", drange=(0, 1))
@@ -226,10 +230,22 @@ def run_dcgan(
                         history[k] = history[k][:offset]
                     for k in ("loss_gen", "loss_disc"):
                         history[k] = history[k][: offset * steps]
+    if len(ds.images) < bs:
+        raise ValueError(
+            f"train dataset has {len(ds.images)} images < batch_size {bs} — "
+            "the drop-last epoch loop would run zero batches; lower "
+            "trainer_gan.batch_size or raise the data cap"
+        )
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
-    best_is, best_epoch, best_state = 0.0, offset, state
+    if resume and offset:
+        # resumed jsonl would otherwise duplicate the reconciled epoch's row
+        mw.drop_rows_from(offset)
+    # best-IS tracking survives resume: re-derive from the restored history
+    # so an extended run cannot overwrite a better best_g with a worse one
+    best_is = max(history["is"][:offset], default=0.0) if offset else 0.0
+    best_epoch, best_state = offset, state
     fixed_noise_key = ctx.keys("fixed_noise")
     # RNG keyed by ABSOLUTE (epoch, step), not by stateful call counters:
     # a killed-and-resumed run replays the exact tail of the single-shot
@@ -252,6 +268,7 @@ def run_dcgan(
             cae_state.enc_params, cae_state.enc_state,
             cae_state.dec_params, cae_state.dec_state,
             battery, val.images, n_synthetic=n_synthetic, enc_real=enc_real,
+            noise_factor=noise_factor,
         )
         fid, is_score = float(res.fid), float(res.inception_score)
         rec = float(res.rec_loss_syn)
@@ -298,11 +315,13 @@ def run_dcgan(
             ctx.run.reports_dir / f"class_polarization_{ep}.png",
         )
 
-        # best model by IS (reference :279-283)
+        # best model by IS, saved ON IMPROVEMENT (reference :279-283) so a
+        # crash never loses the best-so-far weights and a resumed run that
+        # never beats the restored best leaves the existing best_g intact
         if is_score > best_is:
             best_is, best_epoch, best_state = is_score, ep, state
+            ctx.ckpt.save_best("g", best_epoch, best_state)
 
-    ctx.ckpt.save_best("g", best_epoch, best_state)
     mw.close()
     return best_state, history
 
@@ -368,7 +387,7 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
         rdef, init_fn, apply_fn = _assessor(ctx, 2)
         state, history, best_epoch = train_cnn(
             ctx.keys.child(f"cnn_{label}")("init"), rdef, adam,
-            ctx.batches(tr, bs), ctx.batches(va, bs),
+            ctx.batches(tr, bs), ctx.batches(va, bs, drop_last=False),
             num_epochs=epochs, early_stopping=early, scheduler_patience=patience,
             label=label, init="glorot_normal", init_fn=init_fn, apply_fn=apply_fn,
         )
@@ -391,7 +410,7 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
     tr, va = train_val_split(ds, 0.2)
     state, history, best_epoch = train_cnn(
         ctx.keys("cnn_multi"), rdef, adam,
-        ctx.batches(tr, bs), ctx.batches(va, bs),
+        ctx.batches(tr, bs), ctx.batches(va, bs, drop_last=False),
         num_epochs=epochs,
         early_stopping=int(cfg.trainer_cnn.early_stopping),
         scheduler_patience=int(cfg.trainer_cnn.scheduler.patience),
@@ -469,8 +488,8 @@ def run_inverter(
             for x, _y in ctx.batches(iid, bs)(epoch):
                 state, loss = train_step(state, x)
                 tl.append(float(loss))
-            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs)(epoch)]
-            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs)(epoch)]
+            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs, drop_last=False)(epoch)]
+            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs, drop_last=False)(epoch)]
             tr_l = float(np.mean(tl))
             vi_l = float(np.mean(vi)) if vi else np.nan
             vo_l = float(np.mean(vo)) if vo else np.nan
@@ -478,8 +497,12 @@ def run_inverter(
             history["val_iid_loss"].append(vi_l)
             history["val_ood_loss"].append(vo_l)
             mw.append(epoch, train_loss=tr_l, val_iid_loss=vi_l, val_ood_loss=vo_l)
-            if vi_l < best:
-                best, best_params, best_state = vi_l, state.enc_params, state.enc_state
+            # empty val set → vi_l is NaN and `nan < best` is always False,
+            # which would silently keep the RANDOM INIT as "best"; fall back
+            # to the train loss so something trained is always saved
+            sel = vi_l if np.isfinite(vi_l) else tr_l
+            if sel < best:
+                best, best_params, best_state = sel, state.enc_params, state.enc_state
         ctx.ckpt.save_state_dict("encoder", {"params": best_params, "state": best_state,
                                              "variant": "attgan"})
         reporting.plot_training_curves(history, ctx.run.reports_dir / "inverter_training.png")
@@ -500,16 +523,20 @@ def run_inverter(
             for x, _y in ctx.batches(iid, bs)(epoch):
                 state, loss = train_step(state, x)
                 tl.append(float(loss))
-            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs)(epoch)]
-            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs)(epoch)]
+            vi = [float(eval_step(state, x)) for x, _ in ctx.batches(val_iid, bs, drop_last=False)(epoch)]
+            vo = [float(eval_step(state, x)) for x, _ in ctx.batches(val_ood, bs, drop_last=False)(epoch)]
             tr_l, vi_l = float(np.mean(tl)), float(np.mean(vi)) if vi else np.nan
             vo_l = float(np.mean(vo)) if vo else np.nan
             history["train_loss"].append(tr_l)
             history["val_iid_loss"].append(vi_l)
             history["val_ood_loss"].append(vo_l)
             mw.append(epoch, train_loss=tr_l, val_iid_loss=vi_l, val_ood_loss=vo_l)
-            if vi_l < best:  # best by val_iid (reference :273-277)
-                best, best_params = vi_l, state.enc_params
+            # empty val set → vi_l is NaN and `nan < best` is always False,
+            # which would silently keep the RANDOM INIT as "best"; fall back
+            # to the train loss so something trained is always saved
+            sel = vi_l if np.isfinite(vi_l) else tr_l
+            if sel < best:  # best by val_iid (reference :273-277)
+                best, best_params = sel, state.enc_params
         enc_final = best_params
     elif training_fun == "pix_fea_rec_adv":
         if cnn is None:
@@ -548,8 +575,8 @@ def run_inverter(
                 return pixfea, total
 
             # all three reference phases (util_inverter.py:349)
-            vi_pixfea, vi_total = _phase(ctx.batches(val_iid, bs))
-            vo_pixfea, vo_total = _phase(ctx.batches(val_ood, bs))
+            vi_pixfea, vi_total = _phase(ctx.batches(val_iid, bs, drop_last=False))
+            vo_pixfea, vo_total = _phase(ctx.batches(val_ood, bs, drop_last=False))
             tr_loss = float(np.mean([float(m["loss_enc"]) for m in tr_metrics]))
             for k, v in (("train_loss_enc", tr_loss),
                          ("val_iid_pixfea", vi_pixfea), ("val_iid_loss_enc", vi_total),
@@ -557,8 +584,11 @@ def run_inverter(
                 history.setdefault(k, []).append(v)
             mw.append(epoch, train_loss_enc=tr_loss, val_iid_pixfea=vi_pixfea,
                       val_ood_pixfea=vo_pixfea)
-            if vi_pixfea < best:  # best by val_iid pix+fea (reference :470-475)
-                best, best_params = vi_pixfea, state.enc_params
+            # NaN-guard like the other phases: empty val set falls back to
+            # the train loss so random-init weights are never "best"
+            sel = vi_pixfea if np.isfinite(vi_pixfea) else tr_loss
+            if sel < best:  # best by val_iid pix+fea (reference :470-475)
+                best, best_params = sel, state.enc_params
         enc_final = best_params
     else:
         raise ValueError(training_fun)
@@ -570,9 +600,24 @@ def run_inverter(
 
 
 def load_encoder(model_dir: str | Path):
+    """Plain-encoder params for the downstream consumers (extractors,
+    pso-inverter, invert/invert_bn), which apply the dcgan-mirror Encoder —
+    exactly like the reference, whose extractors hard-instantiate
+    `util_inverter.Encoder` (iid_extractor.py:170). An AttGAN-variant
+    checkpoint has a different layout, so refuse it HERE with a diagnosis
+    instead of crashing later in a conv shape mismatch."""
     from gan_discovery_pso_tpu.core.checkpoint import load_pytree
 
     d = load_pytree(Path(model_dir) / "encoder.msgpack")
+    if d.get("variant") == b"attgan" or d.get("variant") == "attgan":
+        raise ValueError(
+            f"{model_dir}: this inverter run trained the AttGAN encoder "
+            "variant; the downstream stages (extractors, pso-inverter, "
+            "gradient inversion) consume the plain dcgan-mirror encoder — "
+            "train the inverter without model_inverter.encoder_variant="
+            "attgan for those paths (the reference has the same constraint: "
+            "its extractors hard-instantiate the plain Encoder)"
+        )
     return jax.tree.map(jnp.asarray, d["params"])
 
 
@@ -664,7 +709,7 @@ def run_pso_inverter(
         bs = int(cfg.trainer_pso_inverter.batch_size)
         fine_state, _h, _be = train_cnn(
             ctx.keys("finetune"), bdef, adam,
-            ctx.batches(tr, bs), ctx.batches(va, bs),
+            ctx.batches(tr, bs), ctx.batches(va, bs, drop_last=False),
             num_epochs=epochs,
             early_stopping=int(cfg.trainer_pso_inverter.early_stopping),
             label=ood_patient, init_state=init_state,
@@ -793,7 +838,7 @@ def run_vqvae(
     val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
     state, history, best_epoch = train_vqvae(
         state, d, adam,
-        ctx.batches(iid, bs), ctx.batches(val_iid, bs), ctx.batches(val_ood, bs),
+        ctx.batches(iid, bs), ctx.batches(val_iid, bs, drop_last=False), ctx.batches(val_ood, bs, drop_last=False),
         num_epochs=epochs, beta=beta,
         metrics_writer=ctx.metrics("history_vqvae"),
     )

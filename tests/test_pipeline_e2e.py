@@ -465,6 +465,15 @@ def test_dcgan_resume_reconciles_history_ahead_of_checkpoint(roots, artifacts):
     # real epoch 1 re-ran (not 3 epochs, and no interleaved duplicates)
     assert len(hist2["fid"]) == 2
     assert len(hist2["loss_gen"]) == 2 * steps
+    # the append-mode jsonl was reconciled too: one row per epoch, steps
+    # unique (the resume used to leave two contradictory rows per re-run
+    # epoch)
+    import json as _json
+
+    rows = [_json.loads(l) for l in
+            open(ctxA.run.reports_dir / "history_gan.jsonl")]
+    row_steps = [r["step"] for r in rows]
+    assert sorted(row_steps) == [0, 1] and len(set(row_steps)) == len(row_steps)
 
 
 def test_dcgan_kill_and_resume_bit_identical(roots, artifacts):
