@@ -102,7 +102,11 @@ class MetricsWriter:
         """Rewrite the jsonl keeping only rows with step < `step` — the
         resume path calls this after reconciling the canonical msgpack
         history, so a re-run epoch does not leave two contradictory rows
-        for the same step in the append-mode artifact."""
+        for the same step in the append-mode artifact.
+
+        The kept rows also seed `_rows`, so the close-time csv rewrite
+        (which is built from memory, not appended) still covers the whole
+        run instead of only the resumed invocation's epochs."""
         path = self.out_dir / f"{self.name}.jsonl"
         self._jsonl.close()
         kept = []
@@ -116,6 +120,7 @@ class MetricsWriter:
         with open(path, "w") as f:
             f.writelines(kept)
         self._jsonl = open(path, "a", buffering=1)
+        self._rows = [json.loads(line) for line in kept] + self._rows
 
     def append(self, step: int, **metrics) -> None:
         row = {"step": int(step)}

@@ -91,6 +91,35 @@ def test_metrics_writer_tensorboard_sink(tmp_path):
     assert tb_files, "tensorboard sink produced no event files"
 
 
+def test_metrics_writer_drop_rows_resumes_jsonl_and_csv(tmp_path):
+    """drop_rows_from truncates the append-mode jsonl at the given step AND
+    seeds the in-memory rows, so the close-time csv rewrite spans the whole
+    run — not just the resumed invocation (the dcgan resume path relies on
+    both: stages.py run_dcgan)."""
+    import csv
+    import json
+
+    mw = MetricsWriter(tmp_path, "h")
+    for s in range(3):
+        mw.append(s, loss=float(s))
+    mw.close()
+
+    # a resumed writer re-runs steps 1..2 after reconciling to step 1
+    mw2 = MetricsWriter(tmp_path, "h")
+    mw2.drop_rows_from(1)
+    mw2.append(1, loss=10.0)
+    mw2.append(2, loss=20.0)
+    assert mw2.history()["loss"] == [0.0, 10.0, 20.0]
+    mw2.close()
+
+    rows = [json.loads(l) for l in open(tmp_path / "h.jsonl")]
+    assert [r["step"] for r in rows] == [0, 1, 2]
+    assert [r["loss"] for r in rows] == [0.0, 10.0, 20.0]
+    with open(tmp_path / "h.csv") as f:
+        crows = list(csv.DictReader(f))
+    assert [float(r["loss"]) for r in crows] == [0.0, 10.0, 20.0]
+
+
 def test_metrics_writer_add_image_noop_without_tb(tmp_path):
     mw = MetricsWriter(tmp_path, "n", tensorboard=False)
     mw.add_image("Real", np.zeros((1, 4, 4)), step=0)  # must not raise
