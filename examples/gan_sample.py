@@ -3,6 +3,11 @@ them with an assessor — the reference's example_gan_prediction.py shape.
 Run: python examples/gan_sample.py [path/to/dcgan/models_dir]"""
 
 import sys
+from pathlib import Path
+
+# runnable as a plain script: Python puts the script's dir on sys.path,
+# not the cwd, so add the repo root for the package import
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np

@@ -2,6 +2,13 @@
 harness, src/hands_on/example_pso.py / pso.py, rebuilt on the tensorized
 engine). Run: python examples/pso_analytic.py"""
 
+import sys
+from pathlib import Path
+
+# runnable as a plain script: Python puts the script's dir on sys.path,
+# not the cwd, so add the repo root for the package import
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 
 from gan_discovery_pso_tpu.core.config import PsoConfig
