@@ -147,6 +147,23 @@ def main(argv=None):
         "cae_decoder", "resnet50", "resnet101", "resnet152"])
     pc.add_argument("dst", help="output .msgpack path")
 
+    # the reverse leg: framework checkpoint → reference-loadable torch file
+    px = sub.add_parser("export-torch",
+                        help="export a framework checkpoint to a reference "
+                             "PyTorch state dict (.pt) or .tar container")
+    px.add_argument("src", help="framework .msgpack checkpoint "
+                                "(state-dict save or GAN checkpoint)")
+    px.add_argument("model", choices=[
+        "generator", "discriminator", "encoder", "cae_encoder",
+        "cae_decoder", "resnet50", "resnet101", "resnet152"])
+    px.add_argument("dst", help="output path; .tar wraps the reference's "
+                                "{'epoch','model_state_dict','loss'} dict, "
+                                "anything else saves the bare state_dict")
+    px.add_argument("--epoch", type=int, default=0,
+                    help=".tar epoch field (GAN checkpoints supply their own)")
+    px.add_argument("--loss", type=float, default=0.0,
+                    help=".tar loss field (GAN checkpoints supply their own)")
+
     args = parser.parse_args(argv)
     if args.stage == "export-model":
         return _export_model(args)
@@ -155,6 +172,13 @@ def main(argv=None):
 
         convert_torch_checkpoint(args.src, args.model, dst=args.dst)
         print(f"[convert-torch] {args.src} ({args.model}) -> {args.dst}")
+        return 0
+    if args.stage == "export-torch":
+        from gan_discovery_pso_tpu.compat.torch_export import export_torch_checkpoint
+
+        export_torch_checkpoint(args.src, args.model, args.dst,
+                                epoch=args.epoch, loss=args.loss)
+        print(f"[export-torch] {args.src} ({args.model}) -> {args.dst}")
         return 0
     return dispatch(args)
 

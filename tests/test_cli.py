@@ -137,3 +137,29 @@ def test_cli_export_model_generator(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(g.call(z)), np.asarray(generator_forward(gp, gs, z)))
     assert not (tmp_path / "reports").exists()  # no run dir side effects
+
+
+def test_cli_convert_and_export_torch_roundtrip(tmp_path):
+    """`export-torch` is the CLI inverse of `convert-torch`: tar → msgpack
+    → tar preserves the state dict exactly."""
+    import torch
+
+    from tests.test_torch_import import _ref_generator
+
+    torch.manual_seed(0)
+    g = _ref_generator()
+    torch.save({"epoch": 3, "model_state_dict": g.state_dict(), "loss": 0.5},
+               tmp_path / "best_g.tar")
+    rc = main(["convert-torch", str(tmp_path / "best_g.tar"), "generator",
+               str(tmp_path / "best_g.msgpack")])
+    assert rc == 0
+    rc = main(["export-torch", str(tmp_path / "best_g.msgpack"), "generator",
+               str(tmp_path / "out.tar"), "--epoch", "3", "--loss", "0.5"])
+    assert rc == 0
+    blob = torch.load(tmp_path / "out.tar", weights_only=False)
+    assert blob["epoch"] == 3
+    want = g.state_dict()
+    for k, v in blob["model_state_dict"].items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(v.numpy(), want[k].numpy(), err_msg=k)
