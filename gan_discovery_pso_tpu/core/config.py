@@ -101,6 +101,14 @@ def _deep_copy(node):
     return node
 
 
+def cfg_default(block: Mapping[str, Any], key: str, default):
+    """`block.get(key, default)` with a None-only fallback: an explicit
+    falsy value (seed: 0, noise_factor: 0.0, val_fraction: 0.0) is honored,
+    only a missing key or an explicit YAML `null` takes the default."""
+    v = block.get(key, default) if block is not None else default
+    return default if v is None else v
+
+
 def load_config(path: str | Path, overrides: Mapping[str, Any] | None = None) -> Config:
     """Load a reference-schema YAML config file."""
     with open(path, "r") as f:

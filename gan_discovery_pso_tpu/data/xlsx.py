@@ -81,6 +81,13 @@ def read_xlsx(path: str | Path) -> dict[str, list]:
     if not rows:
         return {}
     header_cells = rows[0]
+    if not header_cells:
+        # styled-but-empty first rows serialize as `<row r="1"/>`; a bare
+        # max()-of-empty ValueError deep in a preprocess run is useless
+        raise ValueError(
+            f"{path}: the first worksheet row is empty — manifests must "
+            "carry their column names in row 1"
+        )
     ncols = max(header_cells) + 1
     names = [str(header_cells.get(i, f"col{i}")) for i in range(ncols)]
     if len(set(names)) != len(names):

@@ -8,9 +8,59 @@ MaxPool2d((2,2)) (reference src/pso/util_cnn.py:201).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _window_view(x: jax.Array, k0: int, k1: int) -> jax.Array:
+    """[N,C,oh*k0,ow*k1] → [N,C,oh,ow,k0*k1], window elements in (k0,k1)
+    row-major order — torch's maxpool window scan order."""
+    n, c, h, w = x.shape
+    oh, ow = h // k0, w // k1
+    return (
+        x.reshape(n, c, oh, k0, ow, k1)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(n, c, oh, ow, k0 * k1)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _nonoverlap_max_pool(x: jax.Array, k0: int, k1: int) -> jax.Array:
+    """Non-overlapping unpadded max pool via reshape-max, with a VJP that
+    routes the whole cotangent to the FIRST maximal element per window.
+
+    The plain reshape-`.max()` VJP splits the gradient evenly among tied
+    window values; torch's maxpool backward (and lax.reduce_window's
+    select-and-scatter) send it all to the first max in window scan order.
+    Ties are common on this workload (flat image backgrounds give exactly
+    equal fp32 activations), so the tie rule is part of the torch-parity
+    contract for assessor training gradients."""
+    return _window_view(x, k0, k1).max(axis=-1)
+
+
+def _nonoverlap_max_pool_fwd(x, k0, k1):
+    xw = _window_view(x, k0, k1)
+    idx = jnp.argmax(xw, axis=-1)  # first max — torch/select-and-scatter rule
+    out = jnp.take_along_axis(xw, idx[..., None], axis=-1)[..., 0]
+    return out, (idx, x.shape)
+
+
+def _nonoverlap_max_pool_bwd(k0, k1, res, g):
+    idx, (n, c, h, w) = res
+    oh, ow = h // k0, w // k1
+    gw = jax.nn.one_hot(idx, k0 * k1, dtype=g.dtype) * g[..., None]
+    gx = (
+        gw.reshape(n, c, oh, ow, k0, k1)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(n, c, oh * k0, ow * k1)
+    )
+    return (gx,)
+
+
+_nonoverlap_max_pool.defvjp(_nonoverlap_max_pool_fwd, _nonoverlap_max_pool_bwd)
 
 
 def max_pool2d(
@@ -28,15 +78,17 @@ def max_pool2d(
     if k == s and p == (0, 0):
         # Non-overlapping unpadded pool (AlexNet's MaxPool2d(2,2) × 4): a
         # reshape-max is bit-identical (floor mode drops the ragged tail,
-        # exactly torch ceil_mode=False) and its VJP is a cheap mask.
-        # reduce_window's VJP lowers to select-and-scatter, which XLA
-        # compiles pathologically slowly (measured: 147 s for ONE 2×2 pool
-        # backward on XLA:CPU; four of them made the AlexNet train step
-        # effectively uncompilable).
+        # exactly torch ceil_mode=False). reduce_window's VJP lowers to
+        # select-and-scatter, which XLA compiles pathologically slowly
+        # (measured: 147 s for ONE 2×2 pool backward on XLA:CPU; four of
+        # them made the AlexNet train step effectively uncompilable).
+        # _nonoverlap_max_pool carries a custom VJP with torch's
+        # first-max-wins tie rule (a plain reshape-max would split tied
+        # gradients evenly).
         n, c, h, w = x.shape
         oh, ow = h // k[0], w // k[1]
         x = x[:, :, : oh * k[0], : ow * k[1]]
-        return x.reshape(n, c, oh, k[0], ow, k[1]).max(axis=(3, 5))
+        return _nonoverlap_max_pool(x, k[0], k[1])
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,

@@ -30,8 +30,9 @@ from gan_discovery_pso_tpu.pso import (
 
 def _seed(ctx) -> int:
     """Config seed with a None-only fallback (seed: 0 is a real seed)."""
-    seed = ctx.cfg.get("seed", 42)
-    return int(42 if seed is None else seed)
+    from gan_discovery_pso_tpu.core.config import cfg_default
+
+    return int(cfg_default(ctx.cfg, "seed", 42))
 
 def _stack_classes(interim_dir, classes, kind="iid"):
     """Final positions of every class stacked: ([sum_N, d], labels)."""

@@ -20,7 +20,7 @@ from gan_discovery_pso_tpu.core import (
     load_config,
     seed_all,
 )
-from gan_discovery_pso_tpu.core.config import DataConfig
+from gan_discovery_pso_tpu.core.config import DataConfig, cfg_default
 from gan_discovery_pso_tpu.core.logging import Notifier, Tee
 from gan_discovery_pso_tpu.data import ImageDataset, epoch_batches, load_mnist
 
@@ -59,8 +59,7 @@ class StageContext:
             run_id=run_id,
         )
         run.snapshot_config(cfg)
-        seed = cfg.get("seed", 42)
-        keys = seed_all(int(42 if seed is None else seed))
+        keys = seed_all(int(cfg_default(cfg, "seed", 42)))
         return cls(
             cfg=cfg,
             data_cfg=data_cfg,

@@ -21,7 +21,7 @@ import numpy as np
 
 from gan_discovery_pso_tpu.analysis import reporting
 from gan_discovery_pso_tpu.core.checkpoint import save_pytree
-from gan_discovery_pso_tpu.core.config import AdamConfig, PsoConfig
+from gan_discovery_pso_tpu.core.config import AdamConfig, PsoConfig, cfg_default
 from gan_discovery_pso_tpu.data import train_val_split
 from gan_discovery_pso_tpu.evaluation import (
     evaluate_gan_epoch,
@@ -75,8 +75,7 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
     bs = int(cfg.trainer_ae.batch_size)
     epochs = epochs if epochs is not None else int(cfg.trainer_ae.epochs)
     task = str(cfg.model_ae.task)
-    _nf = cfg.model_ae.get("noise_factor", 0.3)
-    noise_factor = float(0.3 if _nf is None else _nf)  # 0.0 is a valid choice
+    noise_factor = float(cfg_default(cfg.model_ae, "noise_factor", 0.3))  # 0.0 is valid
 
     ds = ctx.dataset("train", drange=(0, 1))
     val = ctx.dataset("test", drange=(0, 1))
@@ -130,8 +129,7 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
     labels = np.asarray(ds.labels)
     block = ctx.cfg.get("model_classifiers") or {}
     k = int(block.get("n_neighbors", 5) or 5)  # reference classifiers.py:184
-    _vf = block.get("val_fraction", 0.2)
-    val_fraction = float(0.2 if _vf is None else _vf)  # 0.0 = no holdout
+    val_fraction = float(cfg_default(block, "val_fraction", 0.2))  # 0.0 = no holdout
     battery = train_classifier_battery(emb, labels, k=k, val_fraction=val_fraction)
     save_battery(ctx.run.models_dir / "classifiers.msgpack", battery)
 
@@ -184,8 +182,9 @@ def run_dcgan(
     if n_synthetic is None:
         n_synthetic = bs * 100  # reference util_dcgan.py:243
     label_smoothing = bool(cfg.trainer_gan.get("label_smoothing", True))
-    _nf = cfg.model_ae.get("noise_factor", 0.3)
-    noise_factor = float(0.3 if _nf is None else _nf)  # match the CAE's training noise
+    noise_factor = float(
+        cfg_default(cfg.model_ae, "noise_factor", 0.3)  # match the CAE's training noise
+    )
 
     ds = ctx.dataset("train", drange=(-1, 1))
     val = ctx.dataset("test", drange=(0, 1))

@@ -169,6 +169,13 @@ def train_cnn(
     train_step, eval_step = make_cnn_steps(rdef, adam, apply_fn=apply_fn)
 
     c2i = rdef.class_to_idx()
+    if label is None and not c2i:
+        # an empty map would silently send every label through jnp.take's
+        # out-of-bounds fill (NaN-poisoned metrics, no error)
+        raise ValueError(
+            "multipatient mode (label=None) needs rdef.iid_classes to map "
+            "dataset labels to logit columns — it is empty"
+        )
     lut = np.zeros(max(max(c2i, default=0) + 1, 1), np.int32)
     for c, i in c2i.items():
         lut[c] = i

@@ -12,6 +12,7 @@ while the decoder never moves.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -131,8 +132,12 @@ def train_vqvae(
         history["val_ood_loss"].append(vood)
         if metrics_writer is not None:
             metrics_writer.append(epoch, train_loss=tr, val_iid_loss=viid, val_ood_loss=vood)
-        if vood < best:
-            best, best_epoch = vood, epoch
+        # empty val_ood set → vood is NaN and `nan < best` is always False,
+        # which would silently keep the RANDOM INIT as "best"; fall back to
+        # val_iid, then train loss (same guard as run_inverter's phases)
+        sel = next((v for v in (vood, viid, tr) if not math.isnan(v)), vood)
+        if sel < best:
+            best, best_epoch = sel, epoch
             best_params, best_ms = state.params, state.model_state
 
     state = state._replace(params=best_params, model_state=best_ms)

@@ -238,6 +238,31 @@ def test_xlsx_duplicate_header_raises(tmp_path):
         read_xlsx(p)
 
 
+def test_xlsx_empty_header_row_raises_clearly(tmp_path):
+    """A styled-but-empty first row serializes as `<row r="1"/>`; the reader
+    must raise a manifest diagnostic, not `max() arg is an empty sequence`."""
+    import zipfile
+
+    import pytest
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    p = write_xlsx(tmp_path / "m.xlsx", {"label": ["a"]})
+    with zipfile.ZipFile(p) as zf:
+        contents = {n: zf.read(n) for n in zf.namelist()}
+    sheet = contents["xl/worksheets/sheet1.xml"].decode()
+    # blank out row 1's cells, keeping the row element itself
+    import re
+
+    sheet = re.sub(r'<row r="1">.*?</row>', '<row r="1"/>', sheet)
+    contents["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in contents.items():
+            zf.writestr(n, data)
+    with pytest.raises(ValueError, match="first worksheet row is empty"):
+        read_xlsx(p)
+
+
 def test_xlsx_cells_without_r_attribute_position_sequentially(tmp_path):
     """The OOXML c element's r= attribute is optional — cells without it sit
     one column right of the previous cell (streaming writers omit it). They

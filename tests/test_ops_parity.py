@@ -9,6 +9,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from gan_discovery_pso_tpu.ops import (
@@ -124,6 +125,27 @@ def test_max_pool2d_matches_torch(k, s, p, hw):
     want = F.max_pool2d(torch.tensor(x), k, s, p).numpy()
     got = np.asarray(max_pool2d(jnp.array(x), k, s, p))
     assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("k,hw", [(2, 28), (2, 7), (3, 14)])
+def test_max_pool2d_grad_matches_torch_on_ties(k, hw):
+    """The reshape-max fast path's VJP must use torch's first-max-wins tie
+    rule, not even splitting: flat regions (constant backgrounds) produce
+    exactly-tied windows, and assessor-training gradient parity depends on
+    routing the whole cotangent to one element per window."""
+    x = _rand(2, 3, hw, hw, seed=15)
+    # force ties: quantize hard, and make one full window constant
+    x = np.round(x * 2.0) / 2.0
+    x[0, 0, :k, :k] = 0.5
+
+    xt = torch.tensor(x, requires_grad=True)
+    F.max_pool2d(xt, k, k, 0).sum().backward()
+    want = xt.grad.numpy()
+
+    got = np.asarray(
+        jax.grad(lambda a: max_pool2d(a, k).sum())(jnp.array(x))
+    )
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 

@@ -207,6 +207,36 @@ def test_vqvae_frozen_decoder_stays_frozen():
     assert not np.allclose(cb0, np.asarray(state.params["codebook"]))
 
 
+def test_train_vqvae_empty_val_ood_falls_back_to_val_iid():
+    """With no OoD val batches, every epoch's val_ood is NaN; best-model
+    selection must fall back (val_iid, then train) instead of silently
+    returning the epoch-0 random init (same guard as run_inverter)."""
+    from gan_discovery_pso_tpu.train.vqvae import train_vqvae
+
+    d = VQVAEGanDef(channels_img=1, embedded_dim=16, num_embedding=32,
+                    features_g=8, features_d=8)
+    gp, gs = generator_init(jax.random.key(14), GeneratorDef(16, 1, 8))
+    state, _ = vqvae_init(jax.random.key(15), d, ADAM, frozen_gen=(gp, gs))
+    enc0 = [np.asarray(a).copy() for a in jax.tree.leaves(state.params["encoder"])]
+
+    x = jnp.asarray(np.random.RandomState(12).rand(8, 1, 28, 28) * 2 - 1, jnp.float32)
+    out, history, best_epoch = train_vqvae(
+        state, d, ADAM,
+        train_batches=lambda _e: [(x, None)],
+        val_iid_batches=lambda _e: [(x, None)],
+        val_ood_batches=lambda _e: [],
+        num_epochs=3,
+    )
+    assert all(np.isnan(v) for v in history["val_ood_loss"])
+    assert all(np.isfinite(v) for v in history["val_iid_loss"])  # fallback series
+    assert best_epoch >= 0
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(enc0, jax.tree.leaves(out.params["encoder"]))
+    )
+    assert moved, "best params are still the epoch-0 init"
+
+
 def test_train_cnn_binary_and_early_stopping():
     rdef = ResNetDef("ResNet50", 1, 2, (0, 1))
     x = jnp.asarray(np.random.RandomState(13).rand(32, 1, 28, 28), jnp.float32)
@@ -242,3 +272,20 @@ def test_cae_training_and_embedding_csv(tmp_path):
                                   np.zeros(32, np.int32))
     assert (tmp_path / "encoded_samples_train.csv").exists()
     assert list(df.columns) == [f"var_{i}" for i in range(6)] + ["label"]
+
+
+def test_train_cnn_multipatient_requires_class_map():
+    """Empty iid_classes in multipatient mode must fail loudly: jnp.take's
+    out-of-bounds fill would otherwise NaN-poison every metric silently."""
+    import pytest
+
+    from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_apply, alexnet_init
+    from gan_discovery_pso_tpu.train.cnn import train_cnn
+
+    mdef = AlexNetDef(image_channels=1, n_class=2)  # iid_classes=() default
+    with pytest.raises(ValueError, match="iid_classes"):
+        train_cnn(
+            jax.random.key(0), mdef, ADAM,
+            train_batches=lambda _e: [], val_batches=lambda _e: [],
+            num_epochs=1, apply_fn=alexnet_apply, init_fn=alexnet_init,
+        )
