@@ -427,7 +427,28 @@ def load_cnn(model_dir: str | Path, rdef: ResNetDef, label=None):
     from gan_discovery_pso_tpu.core.checkpoint import restore_tree
 
     d = load_pytree(Path(model_dir) / name)
-    return restore_tree(d["params"]), restore_tree(d["state"])
+    params, state = restore_tree(d["params"]), restore_tree(d["state"])
+    # Architecture mismatch diagnosis: the checkpoint's param keys reveal the
+    # family it was trained as. Loading an AlexNet checkpoint through a
+    # ResNetDef (or vice versa) would otherwise surface as a KeyError deep
+    # inside a jitted fitness trace.
+    looks_resnet = "bn1" in params and "layer1" in params
+    looks_alexnet = "fc1" in params and "conv4" in params
+    want_resnet = type(rdef).__name__ == "ResNetDef"
+    if want_resnet and looks_alexnet:
+        raise ValueError(
+            f"{model_dir}/{name} is an AlexNet checkpoint but the config "
+            "resolves a ResNet assessor — set model_cnn.model_name=AlexNet "
+            "(and its network block) for THIS stage too, not only for "
+            "cnn/cnn-multipatient"
+        )
+    if not want_resnet and looks_resnet:
+        raise ValueError(
+            f"{model_dir}/{name} is a ResNet checkpoint but the config "
+            "resolves an AlexNet assessor — drop model_cnn.model_name="
+            "AlexNet for this stage or point --path-cnn at an AlexNet run"
+        )
+    return params, state
 
 
 # ---------------------------------------------------------------------------

@@ -105,4 +105,13 @@ def load_particle_trajectories(interim_dir: str | Path, label, kind: str = "iid"
                 hist = pickle.load(f)
             mats = [hist[k].to_numpy(np.float32) for k in hist]
             return np.stack(mats, axis=1)
-    raise FileNotFoundError(f"no particle artifact for class {label} in {interim_dir}")
+    have = sorted(
+        {p.stem.rsplit("_", 1)[-1] for p in interim_dir.glob(f"particles_{kind}_class_*.npz")}
+    )
+    raise FileNotFoundError(
+        f"no particle artifact for class {label} in {interim_dir} "
+        f"(classes present: {have or 'none'}) — if this is a vqvae/analysis "
+        "stage, its config's data.iid_classes must match the discovery run's "
+        "(the reference's vqvae.yaml and dcgan_mnist.yaml ship with "
+        "different splits)"
+    )

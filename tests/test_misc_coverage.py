@@ -140,3 +140,29 @@ def test_postprocess_uint8():
     out = np.asarray(postprocess_uint8(imgs))
     np.testing.assert_array_equal(out, [[[0, 128, 255]]])
     assert out.dtype == np.uint8
+
+
+def test_load_cnn_diagnoses_architecture_mismatch(tmp_path):
+    """Loading an AlexNet checkpoint through a ResNetDef (or vice versa)
+    must fail with config guidance, not a KeyError deep inside a jitted
+    fitness trace."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from gan_discovery_pso_tpu.core.checkpoint import save_pytree
+    from gan_discovery_pso_tpu.models import AlexNetDef, ResNetDef, alexnet_init
+    from gan_discovery_pso_tpu.models.resnet import resnet_init
+    from gan_discovery_pso_tpu.pipelines import load_cnn
+
+    ap, ast = alexnet_init(jax.random.key(0), AlexNetDef(image_channels=1, n_class=2,
+                                                         img_size=28, padding=1))
+    save_pytree(tmp_path / "model.msgpack", {"params": ap, "state": ast})
+    rdef = ResNetDef("ResNet50", 1, 2, (0, 1))
+    with pytest.raises(ValueError, match="AlexNet checkpoint"):
+        load_cnn(tmp_path, rdef)
+
+    rp, rs = resnet_init(jax.random.key(1), rdef, init="glorot_normal")
+    save_pytree(tmp_path / "model.msgpack", {"params": rp, "state": rs})
+    with pytest.raises(ValueError, match="ResNet checkpoint"):
+        load_cnn(tmp_path, AlexNetDef(image_channels=1, n_class=2))
