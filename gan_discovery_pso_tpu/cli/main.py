@@ -63,6 +63,11 @@ _TINY = {
     "trainer_pso.dim_space": 8,
     "model_inverter.latent_space": 8,
     "model_ae.latent_space": 6,
+    # vqvae.yaml: the codebook dim must track the (tiny) PSO dim_space and
+    # the frozen generator's z_dim, and 8 particles x 8 classes only yields
+    # 64 codebook rows
+    "model.latent_space.embedding_dim": 8,
+    "model.latent_space.num_embedding": 64,
 }
 
 

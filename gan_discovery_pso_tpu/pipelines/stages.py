@@ -849,6 +849,26 @@ def run_vqvae(
             for c in ctx.data_cfg.iid_classes
         ]
         data_pso = np.concatenate(rows, axis=0)[: d.num_embedding]
+        if data_pso.shape[1] != d.embedded_dim:
+            # The reference only works because its configs keep
+            # trainer_pso.dim_space == model.latent_space.embedding_dim
+            # (vq_vae.py:44-47 reads the pickle at the cfg dims); diagnose
+            # the drift here instead of failing inside the jitted VQ lookup.
+            raise ValueError(
+                f"PSO particles in {pso_interim_dir} have dim "
+                f"{data_pso.shape[1]} but model.latent_space.embedding_dim="
+                f"{d.embedded_dim} — set embedding_dim to the discovery "
+                "run's trainer_pso.dim_space (the codebook IS those "
+                "particle positions)"
+            )
+    gen_z_dim = gen_params["convt1"]["w"].shape[0]  # IOHW: in-channels
+    if gen_z_dim != d.embedded_dim:
+        raise ValueError(
+            f"frozen decoder expects z_dim={gen_z_dim} inputs but "
+            f"model.latent_space.embedding_dim={d.embedded_dim} — the "
+            "vqvae_dcgan decoder IS the pretrained G, so embedding_dim "
+            "must equal the GAN run's trainer_gan.z_dim"
+        )
 
     state, _tx = vqvae_init(ctx.keys("vqvae"), d, adam, data_pso=data_pso,
                             frozen_gen=(gen_params, gen_state))

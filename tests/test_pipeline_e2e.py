@@ -337,6 +337,30 @@ def test_vqvae_and_analyses(roots, artifacts):
     assert (ctxD.run.reports_dir / "distance_summary.json").exists()
 
 
+def test_vqvae_diagnoses_dim_mismatch(roots, artifacts):
+    """embedding_dim drifting from the discovery run's dim_space (the
+    reference config drift between vqvae.yaml's 100 and a smaller
+    trainer_pso.dim_space) must fail with config guidance up front, not
+    a reshape error inside the jitted VQ lookup."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    ctx5, _results = artifacts["pso"]
+
+    ctxV = _ctx(roots, "vq_vae_mismatch")
+    vq_cfg = load_config("configs/vqvae.yaml", overrides={
+        **{k: v for k, v in TINY.items() if not k.startswith(("trainer_cnn", "model_cnn"))},
+        "data.data_dir": str(ctxV.data_cfg.data_dir),
+        "data.interim_dir": str(ctxV.data_cfg.interim_dir),
+        "data.model_dir": str(ctxV.data_cfg.model_dir),
+        "data.reports_dir": str(ctxV.data_cfg.reports_dir),
+        "model.latent_space.embedding_dim": 100,  # artifacts are 8-dim
+        "data.iid_classes": [0, 2],
+    })
+    ctxV = StageContext.create(vq_cfg, "vq_vae_mismatch")
+    with pytest.raises(ValueError, match="embedding_dim"):
+        run_vqvae(ctxV, gan_state.gen_params, gan_state.gen_state,
+                  pso_interim_dir=ctx5.run.interim_dir, epochs=1)
+
+
 def test_pso_discovery_sharded_full_artifact_contract(roots, artifacts):
     """shard_devices=N runs through the SAME pipeline and emits the full
     artifact set — timing.json, pickles, plots, per-iteration image grids —
