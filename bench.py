@@ -181,11 +181,13 @@ def measure_tpu() -> dict:
         optimize,
     )
 
+    from gan_discovery_pso_tpu.core import jit_init
+
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
     keys = seed_all(42)
-    gp, gs = generator_init(keys("g"), GeneratorDef(z_dim=DIM))
+    gp, gs = jit_init(generator_init, GeneratorDef(z_dim=DIM))(keys("g"))
     rdef = ResNetDef("ResNet50", 1, N_CLASSES, (0, 2, 3, 4, 6, 7, 8, 9))
-    rp, rs = resnet_init(keys("r"), rdef, init="glorot_normal")
+    rp, rs = jit_init(resnet_init, rdef, init="glorot_normal")(keys("r"))
     hp = PsoConfig(n_iterations=N_ITERATIONS, n_particles=N_PARTICLES, dim_space=DIM)
     class_idxs = jnp.arange(N_CLASSES, dtype=jnp.int32)
     swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(N_CLASSES)])

@@ -12,6 +12,19 @@ if not _os.environ.get("GDPT_NO_COMPILE_CACHE"):
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def jit_init(init_fn, *args, **kwargs):
+    """Wrap a model init as ONE jitted program taking only the PRNG key.
+
+    Eager inits dispatch one tiny XLA program per parameter tensor; in a
+    TPU-plugin process each dispatch pays the tunnel RTT plus an uncached
+    sub-second compile, which turns a full-width ResNet50 init into minutes
+    (measured: 251 s eager vs 18 s cold / 0.01 s warm jitted — and the one
+    fused init program persists in the compile cache across processes).
+    Non-key arguments are closed over; use only with jit-safe init fns.
+    """
+    return _jax.jit(lambda key: init_fn(key, *args, **kwargs))
+
+
 from gan_discovery_pso_tpu.core.config import Config, PsoConfig, load_config
 from gan_discovery_pso_tpu.core.prng import KeyChain, seed_all
 from gan_discovery_pso_tpu.core.rundir import RunDir, get_next_run_id
@@ -25,6 +38,7 @@ from gan_discovery_pso_tpu.core.profiling import trace, timed, throughput
 from gan_discovery_pso_tpu.core.checkpoint import restore_tree
 
 __all__ = [
+    "jit_init",
     "Config",
     "PsoConfig",
     "load_config",

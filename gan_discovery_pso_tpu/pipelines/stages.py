@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gan_discovery_pso_tpu.analysis import reporting
+from gan_discovery_pso_tpu.core import jit_init
 from gan_discovery_pso_tpu.core.checkpoint import save_pytree
 from gan_discovery_pso_tpu.core.config import AdamConfig, PsoConfig, cfg_default
 from gan_discovery_pso_tpu.data import train_val_split
@@ -495,7 +496,7 @@ def run_inverter(
         )
 
         adef = EncoderAttGANDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
-        aep, aes = encoder_attgan_init(ctx.keys("enc"), adef)
+        aep, aes = jit_init(encoder_attgan_init, adef)(ctx.keys("enc"))
         state = PixRecStatefulState(aep, aes, tx.init(aep), jnp.asarray(0, jnp.int32))
         train_step, eval_step = make_pix_rec_step_stateful(
             gen_params, gen_state, adam,
@@ -529,9 +530,9 @@ def run_inverter(
         mw.close()
         return best_params, history
 
-    enc_params, _ = encoder_init(
-        ctx.keys("enc"), EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
-    )
+    enc_params, _ = jit_init(
+        encoder_init, EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+    )(ctx.keys("enc"))
 
     if training_fun == "pix_rec":
         state = PixRecState(enc_params, tx.init(enc_params), jnp.asarray(0, jnp.int32))
@@ -967,7 +968,7 @@ def run_pixelcnn_prior(
 
     d = PixelCNNDef(input_dim=num_embedding, dim=dim, n_layers=n_layers,
                     n_classes=n_classes)
-    params = pixelcnn_init(ctx.keys("pixelcnn"), d)
+    params = jit_init(pixelcnn_init, d)(ctx.keys("pixelcnn"))
     tx = optax.adam(lr)
     opt = tx.init(params)
 

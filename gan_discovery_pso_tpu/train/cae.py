@@ -44,12 +44,18 @@ class CaeTrainState(NamedTuple):
 
 
 def cae_init(key, d: CAEDef, adam: AdamConfig) -> tuple[CaeTrainState, optax.GradientTransformation]:
-    ke, kd = jax.random.split(key)
-    ep, es = cae_encoder_init(ke, d)
-    dp, ds = cae_decoder_init(kd, d)
     tx = make_optimizer(adam)
+
+    @jax.jit  # one fused init program (core.jit_init rationale)
+    def build(k):
+        ke, kd = jax.random.split(k)
+        ep, es = cae_encoder_init(ke, d)
+        dp, ds = cae_decoder_init(kd, d)
+        return ep, es, dp, ds, tx.init({"enc": ep, "dec": dp})
+
+    ep, es, dp, ds, opt = build(key)
     return (
-        CaeTrainState(ep, es, dp, ds, tx.init({"enc": ep, "dec": dp}),
+        CaeTrainState(ep, es, dp, ds, opt,
                       jnp.asarray(0, jnp.int32)),
         tx,
     )

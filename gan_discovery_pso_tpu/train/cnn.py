@@ -159,10 +159,18 @@ def train_cnn(
     if average is None:
         average = "binary" if label is not None else "macro"
     if init_state is None:
-        params, model_state = (init_fn or resnet_init)(key, rdef, init=init)
         tx = make_optimizer(adam)
+
+        # one fused init+opt-state program instead of ~800 per-tensor
+        # dispatches (minutes over the TPU tunnel for a full-width ResNet)
+        @jax.jit
+        def _build(k):
+            params, model_state = (init_fn or resnet_init)(k, rdef, init=init)
+            return params, model_state, tx.init(params)
+
+        params, model_state, opt0 = _build(key)
         init_state = CnnTrainState(
-            params, model_state, tx.init(params), jnp.asarray(1.0, jnp.float32),
+            params, model_state, opt0, jnp.asarray(1.0, jnp.float32),
             jnp.asarray(0, jnp.int32),
         )
     state = init_state

@@ -51,21 +51,25 @@ class GanTrainState(NamedTuple):
 
 
 def gan_init(key, gdef: GeneratorDef, ddef: DiscriminatorDef, adam: AdamConfig):
-    kg, kd = jax.random.split(key)
-    gen_params, gen_state = generator_init(kg, gdef, dcgan_init=True)
-    disc_params, _ = discriminator_init(kd, ddef, dcgan_init=True)
     tx = make_optimizer(adam)
-    return (
-        GanTrainState(
+
+    # one fused init program (core.jit_init rationale: eager per-tensor
+    # dispatches cost minutes over the TPU tunnel)
+    @jax.jit
+    def build(k):
+        kg, kd = jax.random.split(k)
+        gen_params, gen_state = generator_init(kg, gdef, dcgan_init=True)
+        disc_params, _ = discriminator_init(kd, ddef, dcgan_init=True)
+        return GanTrainState(
             gen_params=gen_params,
             gen_state=gen_state,
             disc_params=disc_params,
             opt_g=tx.init(gen_params),
             opt_d=tx.init(disc_params),
             step=jnp.asarray(0, jnp.int32),
-        ),
-        tx,
-    )
+        )
+
+    return build(key), tx
 
 
 def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: bool = True):

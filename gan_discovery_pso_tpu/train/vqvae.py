@@ -45,7 +45,9 @@ def vqvae_init(
     frozen_gen: tuple | None = None,
 ):
     """frozen_gen: (gen_params, gen_state) to install + freeze as decoder."""
-    params, state = vqvae_gan_init(key, d, data_pso=data_pso)
+    # one fused init program (core.jit_init rationale); data_pso folds in as
+    # a compile-time constant
+    params, state = jax.jit(lambda k: vqvae_gan_init(k, d, data_pso=data_pso))(key)
     if frozen_gen is not None:
         params, state = load_frozen_decoder(params, state, *frozen_gen)
         tx = optax.multi_transform(
@@ -54,7 +56,8 @@ def vqvae_init(
         )
     else:
         tx = make_optimizer(adam)
-    return VqvaeTrainState(params, state, tx.init(params), jnp.asarray(0, jnp.int32)), tx
+    opt0 = jax.jit(tx.init)(params)  # fused opt-state init, not per-tensor
+    return VqvaeTrainState(params, state, opt0, jnp.asarray(0, jnp.int32)), tx
 
 
 def make_vqvae_steps(d: VQVAEGanDef, adam: AdamConfig, beta: float = 0.25, frozen_decoder: bool = True):
