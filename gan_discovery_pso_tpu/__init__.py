@@ -25,3 +25,21 @@ cli         one entry point with a subcommand per reference stage
 """
 
 __version__ = "0.1.0"
+
+# An explicit JAX_PLATFORMS=cpu env var does NOT pin CPU on hosts with a
+# TPU plugin installed (the plugin's registration outranks the plain env
+# override, and the process then contends for the TPU — hanging forever if
+# the device link is down). Honor the user's explicit intent with a config
+# update before any backend initializes; the config path is authoritative
+# where the env var is not. Lives in the top-level __init__ so EVERY import
+# path through the package gets it first.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - config may be frozen post-init
+        pass
+del _os

@@ -77,7 +77,8 @@ def _ctx(args, module):
     overrides = _parse_set(args.set)
     if args.tiny:
         overrides = {**_TINY, **overrides}
-    ctx = StageContext.create(args.cfg, module, overrides=overrides)
+    ctx = StageContext.create(args.cfg, module, overrides=overrides,
+                              run_id=getattr(args, "resume_id", None))
     if args.limit or args.tiny:
         ctx.limit = args.limit or 512
     return ctx
@@ -112,6 +113,12 @@ def main(argv=None):
         p.add_argument("--path-vqvae", default=None, help="vqvae stage model dir")
         if name in ("pso-inverter", "pso-inverter-analysis"):
             p.add_argument("--ood-patient", type=int, default=None)
+        if name == "dcgan":
+            # ≡ the reference's `-i/--id_exp` resume handle (dcgan.py:26-39):
+            # re-enter run dir NNNNN--dcgan and continue from its checkpoint
+            p.add_argument("--resume-id", type=int, default=None, metavar="N",
+                           help="re-enter run dir N and resume from its "
+                                "checkpoint; --epochs counts ADDITIONAL epochs")
         if name == "pso-discovery":
             p.add_argument("--batch-classes", action="store_true",
                            help="advance all class swarms in one vmapped program")
@@ -198,31 +205,51 @@ def _export_model(args):
     from gan_discovery_pso_tpu.core.config import DataConfig, load_config
     from gan_discovery_pso_tpu.pipelines import load_gan
 
-    cfg = load_config(args.cfg, overrides=_parse_set(args.set))
+    overrides = _parse_set(args.set)
+    if args.tiny:
+        # honor --tiny like every run-dir stage does (_ctx): exporting from
+        # a tiny-run checkpoint must trace tiny shapes, not full-width ones
+        overrides = {**_TINY, **overrides}
+    cfg = load_config(args.cfg, overrides=overrides)
     data_cfg = DataConfig.from_config(cfg.data)
     gp, gs = load_gan(args.path_gan)
     platforms = tuple(args.platforms) if args.platforms else None
-    if args.what == "generator":
-        out = export_generator(
-            gp, gs, z_dim=int(cfg.trainer_gan.z_dim), batch=args.batch,
-            path=args.out, platforms=platforms,
-        )
-    else:
-        from gan_discovery_pso_tpu.pipelines import load_cnn
-        from gan_discovery_pso_tpu.pipelines.stages import assessor_factory
+    import contextlib
 
-        iid = tuple(data_cfg.iid_classes)
-        rdef, _i, _a = assessor_factory(cfg, data_cfg, len(iid))
-        cp, cs = load_cnn(
-            _require(args.path_cnn, "--path-cnn",
-                     "models dir of a cnn-multipatient run"), rdef)
-        label = args.class_label if args.class_label is not None else iid[0]
-        out = export_discovery_fitness(
-            gp, gs, cp, cs, rdef,
-            class_idx=rdef.class_to_idx().get(label, 1),
-            dim_space=int(cfg.trainer_pso.dim_space), batch=args.batch,
-            path=args.out, platforms=platforms,
-        )
+    from gan_discovery_pso_tpu.ops.precision import fast_math
+
+    # --fast-math is trace-time: the export lowers inside the context, so
+    # the artifact itself carries DEFAULT conv/matmul precision
+    prec_ctx = fast_math() if getattr(args, "fast_math", False) else contextlib.nullcontext()
+    with prec_ctx:
+        if args.what == "generator":
+            out = export_generator(
+                gp, gs, z_dim=int(cfg.trainer_gan.z_dim), batch=args.batch,
+                path=args.out, platforms=platforms,
+            )
+        else:
+            from gan_discovery_pso_tpu.pipelines import load_cnn
+            from gan_discovery_pso_tpu.pipelines.stages import assessor_factory
+
+            iid = tuple(data_cfg.iid_classes)
+            rdef, _i, _a = assessor_factory(cfg, data_cfg, len(iid))
+            cp, cs = load_cnn(
+                _require(args.path_cnn, "--path-cnn",
+                         "models dir of a cnn-multipatient run"), rdef)
+            label = args.class_label if args.class_label is not None else iid[0]
+            c2i = rdef.class_to_idx()
+            if label not in c2i:
+                sys.exit(
+                    f"export-model: --class-label {label} is not an IiD class "
+                    f"of this config (classes: {sorted(c2i)}) — the exported "
+                    "fitness would score the wrong logit column"
+                )
+            out = export_discovery_fitness(
+                gp, gs, cp, cs, rdef,
+                class_idx=c2i[label],
+                dim_space=int(cfg.trainer_pso.dim_space), batch=args.batch,
+                path=args.out, platforms=platforms,
+            )
     print(f"[export-model] {args.what} -> {out}")
     return 0
 
@@ -318,7 +345,8 @@ def dispatch(args):
                 args.path_classifiers, "--path-classifiers",
                 "models dir of a classifiers run")) / "classifiers.msgpack")
             P.run_dcgan(ctx, cae_state, battery, epochs=_epochs(args),
-                        n_synthetic=256 if args.tiny else None)
+                        n_synthetic=256 if args.tiny else None,
+                        resume=args.resume_id is not None)
         elif stage == "cnn":
             P.run_cnn(ctx, epochs=_epochs(args))
         elif stage == "cnn-multipatient":

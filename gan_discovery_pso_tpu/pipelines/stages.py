@@ -184,7 +184,9 @@ def run_dcgan(
         n_synthetic = bs * 100  # reference util_dcgan.py:243
     label_smoothing = bool(cfg.trainer_gan.get("label_smoothing", True))
     noise_factor = float(
-        cfg_default(cfg.model_ae, "noise_factor", 0.3)  # match the CAE's training noise
+        # match the CAE's training noise; .get: a dcgan-only config without
+        # a model_ae block must not fail here (cfg_default handles None)
+        cfg_default(cfg.get("model_ae"), "noise_factor", 0.3)
     )
 
     ds = ctx.dataset("train", drange=(-1, 1))
@@ -239,13 +241,24 @@ def run_dcgan(
     step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
     sampler = make_sampler(gdef)
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
-    if resume and offset:
-        # resumed jsonl would otherwise duplicate the reconciled epoch's row
+    if resume:
+        # resumed jsonl would otherwise duplicate the reconciled epoch's
+        # row; offset==0 (killed during epoch 0, no checkpoint yet) means
+        # the whole epoch re-runs, so ALL stale rows go
         mw.drop_rows_from(offset)
     # best-IS tracking survives resume: re-derive from the restored history
     # so an extended run cannot overwrite a better best_g with a worse one
     best_is = max(history["is"][:offset], default=0.0) if offset else 0.0
     best_epoch, best_state = offset, state
+    if resume and offset:
+        # the disk best_g may be BETTER than the restored last checkpoint
+        # (best at an earlier epoch); return that state, not the last one
+        prev_best = ctx.ckpt.try_load("best_g.msgpack")
+        if prev_best is not None:
+            from gan_discovery_pso_tpu.core.checkpoint import restore_into
+
+            best_state = restore_into(state, prev_best["state"])
+            best_epoch = int(prev_best.get("epoch", offset))
     fixed_noise_key = ctx.keys("fixed_noise")
     # RNG keyed by ABSOLUTE (epoch, step), not by stateful call counters:
     # a killed-and-resumed run replays the exact tail of the single-shot
@@ -321,6 +334,15 @@ def run_dcgan(
         if is_score > best_is:
             best_is, best_epoch, best_state = is_score, ep, state
             ctx.ckpt.save_best("g", best_epoch, best_state)
+
+    if not (ctx.ckpt.model_dir / "best_g.msgpack").exists():
+        # no epoch ever improved best_is (e.g. IS was NaN throughout a
+        # diverged run, where `nan > best` is always False) — downstream
+        # stages hard-require best_g.msgpack, so persist the final state
+        # rather than leave the run dir unusable
+        print("[dcgan] WARNING: no epoch improved the inception score; "
+              "saving the final state as best_g")
+        ctx.ckpt.save_best("g", best_epoch, best_state)
 
     mw.close()
     return best_state, history
@@ -909,16 +931,30 @@ def run_pixelcnn_prior_from_vqvae(
     from gan_discovery_pso_tpu.models import vqvae_gan_encode_indices
 
     cfg = ctx.cfg
-    d = VQVAEGanDef(
-        channels_img=ctx.data_cfg.channel,
-        embedded_dim=int(cfg.model.latent_space.embedding_dim),
-        num_embedding=int(cfg.model.latent_space.num_embedding),
-        features_g=int(cfg.model_gan.network.units_gen),
-        features_d=int(cfg.model_gan.network.units_disc),
-    )
     ck = load_pytree(Path(vqvae_model_dir) / "best_vqvae.msgpack")
     st = restore_tree(ck["state"])
     params, model_state = st["params"], st["state"]
+    # Derive latent dims from the CHECKPOINT's codebook, not the current
+    # config: a prior trained at config dims against a tiny-run vqvae would
+    # silently cover codes the vqvae doesn't have (or crash in the encode
+    # jit). The conv widths still come from config — validated by shape
+    # against the checkpoint's encoder stem.
+    num_embedding, embedded_dim = (int(x) for x in params["codebook"].shape)
+    d = VQVAEGanDef(
+        channels_img=ctx.data_cfg.channel,
+        embedded_dim=embedded_dim,
+        num_embedding=num_embedding,
+        features_g=int(cfg.model_gan.network.units_gen),
+        features_d=int(cfg.model_gan.network.units_disc),
+    )
+    ck_f = params["encoder"]["conv1"]["w"].shape[0]  # OIHW out-channels
+    if ck_f != d.features_d:
+        raise ValueError(
+            f"{vqvae_model_dir}/best_vqvae.msgpack was trained with "
+            f"features_d={ck_f} but the config says units_disc="
+            f"{d.features_d} — pass the same config (and --tiny flag) the "
+            "vqvae run used"
+        )
 
     ds = ctx.dataset("train", drange=(-1, 1))
     enc = jax.jit(lambda x: vqvae_gan_encode_indices(params, model_state, x, d))

@@ -24,7 +24,15 @@ def make_optimizer(cfg: AdamConfig, name: str | None = None) -> optax.GradientTr
     if name == "Adam":
         tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.epsilon)
     elif name == "RMSprop":
-        tx = optax.rmsprop(cfg.lr, eps=cfg.epsilon)
+        # torch-parity: optim.RMSprop defaults alpha=0.99 (optax.rmsprop's
+        # decay default is 0.9) and applies eps OUTSIDE the sqrt —
+        # g / (sqrt(v) + eps) — which is eps_in_sqrt=False
+        # (reference get_opti passes only lr/eps/weight_decay,
+        # util_dcgan.py:36-42, so torch defaults govern the rest)
+        tx = optax.chain(
+            optax.scale_by_rms(decay=0.99, eps=cfg.epsilon, eps_in_sqrt=False),
+            optax.scale(-cfg.lr),
+        )
     else:
         raise ValueError(name)
     if cfg.weight_decay:

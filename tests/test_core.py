@@ -142,3 +142,54 @@ def test_optimizer_name_reaches_make_optimizer():
     up_a, _ = tx_a.update(grads, tx_a.init(params), params)
     # the two optimizers take visibly different first steps
     assert not np.allclose(np.asarray(up_r["w"]), np.asarray(up_a["w"]))
+
+
+def test_jit_init_matches_eager_init():
+    """core.jit_init (one fused init program — the TPU-tunnel dispatch fix)
+    must produce the same parameters as the eager per-tensor init. Fusion
+    may reassociate the RNG math, so equality is up to float ulps, not
+    bit-exact."""
+    import jax
+    import numpy as np
+
+    from gan_discovery_pso_tpu.core import jit_init
+    from gan_discovery_pso_tpu.models import GeneratorDef, generator_init
+
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    key = jax.random.key(7)
+    eager = generator_init(key, gdef, dcgan_init=True)
+    fused = jit_init(generator_init, gdef, dcgan_init=True)(key)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        eager, fused,
+    )
+
+
+def test_rmsprop_matches_torch():
+    """make_optimizer('RMSprop') must track torch.optim.RMSprop defaults:
+    alpha=0.99 and eps OUTSIDE the sqrt (reference get_opti passes only
+    lr/eps/weight_decay, util_dcgan.py:36-42)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from gan_discovery_pso_tpu.core.config import AdamConfig
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+
+    g_np = np.array([0.5, -1.25, 2.0], np.float32)
+    p_t = torch.nn.Parameter(torch.tensor([1.0, 2.0, 3.0]))
+    opt_t = torch.optim.RMSprop([p_t], lr=0.01, eps=1e-8)
+    cfg = AdamConfig.from_config({"name": "RMSprop", "lr": 0.01,
+                                  "epsilon": 1e-8})
+    tx = make_optimizer(cfg)
+    p_j = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+    s_j = tx.init(p_j)
+    for _ in range(3):
+        p_t.grad = torch.tensor(g_np)
+        opt_t.step()
+        up, s_j = tx.update({"w": jnp.asarray(g_np)}, s_j, p_j)
+        p_j = {"w": p_j["w"] + up["w"]}
+    np.testing.assert_allclose(np.asarray(p_j["w"]), p_t.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)

@@ -120,6 +120,23 @@ def test_metrics_writer_drop_rows_resumes_jsonl_and_csv(tmp_path):
     assert [float(r["loss"]) for r in crows] == [0.0, 10.0, 20.0]
 
 
+def test_metrics_writer_drop_rows_from_zero(tmp_path):
+    """A kill during epoch 0 leaves a stale step-0 row with NO checkpoint:
+    the resume restarts from scratch and must drop ALL rows (run_dcgan now
+    calls drop_rows_from(0); `if resume and offset` used to skip it)."""
+    import json
+
+    mw = MetricsWriter(tmp_path, "h")
+    mw.append(0, loss=1.0)
+    mw.close()
+    mw2 = MetricsWriter(tmp_path, "h")
+    mw2.drop_rows_from(0)
+    mw2.append(0, loss=9.0)
+    mw2.close()
+    rows = [json.loads(l) for l in open(tmp_path / "h.jsonl")]
+    assert [(r["step"], r["loss"]) for r in rows] == [(0, 9.0)]
+
+
 def test_metrics_writer_add_image_noop_without_tb(tmp_path):
     mw = MetricsWriter(tmp_path, "n", tensorboard=False)
     mw.add_image("Real", np.zeros((1, 4, 4)), step=0)  # must not raise
