@@ -301,12 +301,15 @@ class CvEvaluator:
 
         aucs, accs, f1s = [], [], []
         for y, s in zip(self.fold_labels, self.fold_scores):
-            aucs.append(roc_auc_score(y, s))
+            # single-class folds make roc_auc_score raise; skip like nan
+            if len(np.unique(np.asarray(y))) > 1:
+                aucs.append(roc_auc_score(y, s))
             preds = (s >= 0.5).astype(int)
             accs.append(accuracy_score(y, preds))
-            f1s.append(f1_score(y, preds))
+            f1s.append(f1_score(y, preds, zero_division=0))
         return {
-            "auc_mean": float(np.mean(aucs)), "auc_std": float(np.std(aucs)),
+            "auc_mean": float(np.mean(aucs)) if aucs else float("nan"),
+            "auc_std": float(np.std(aucs)) if aucs else float("nan"),
             "acc_mean": float(np.mean(accs)), "f1_mean": float(np.mean(f1s)),
         }
 
@@ -333,7 +336,10 @@ class CvEvaluator:
             rows.append({
                 "accuracy": (tp + tn) / max(tp + tn + fp + fn, 1),
                 "precision": prec, "recall": rec, "f1": f1,
-                "auc": float(roc_auc_score(y, s)),
+                # a single-class fold makes roc_auc_score raise; degrade to
+                # nan like the other ratios (the xlsx writer absorbs nan)
+                "auc": (float(roc_auc_score(y, s))
+                        if len(np.unique(np.asarray(y))) > 1 else float("nan")),
                 "specificity": spec, "g": math.sqrt(max(rec * spec, 0.0)),
                 "tn": int(tn), "tp": int(tp), "fp": int(fp), "fn": int(fn),
                 "total_neg": int(tn + fp), "total_pos": int(tp + fn),

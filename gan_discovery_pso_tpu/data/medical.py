@@ -194,12 +194,24 @@ def load_sliding_window_dataset(
     img_dim = int(cfg_data["image_size"])
     rescale_pm1 = bool(cfg_data.get("rescale_minus_1_plus_1", False))
     imgs, labels, pids, sids = [], [], [], []
-    for pid, sid, lab in zip(manifest["id"], manifest["id_slice"], manifest["label"]):
-        sid_s = str(int(sid)) if isinstance(sid, float) and sid == int(sid) else str(sid)
-        path = img_dir / f"{pid}_{sid_s}{extension}"
+    def norm_id(v):
+        # xlsx numeric cells arrive as float (12.0); the filenames use the
+        # integer spelling — normalize BOTH id columns the same way
+        return str(int(v)) if isinstance(v, float) and v == int(v) else str(v)
+
+    for i, (pid, sid, lab) in enumerate(
+        zip(manifest["id"], manifest["id_slice"], manifest["label"])
+    ):
+        if pid is None or sid is None or lab is None:
+            raise ValueError(
+                f"manifest row {i}: empty cell (id={pid!r}, id_slice={sid!r}, "
+                f"label={lab!r}) — every row needs id, id_slice and label"
+            )
+        pid_s, sid_s = norm_id(pid), norm_id(sid)
+        path = img_dir / f"{pid_s}_{sid_s}{extension}"
         imgs.append(slice_loader(path, img_dim, rescale_minus_1_plus_1=rescale_pm1))
         labels.append(int(float(lab)))
-        pids.append(str(pid))
+        pids.append(pid_s)
         sids.append(sid_s)
     return SlidingWindowDataset(
         images=np.stack(imgs, axis=0),

@@ -74,6 +74,11 @@ def read_xlsx(path: str | Path) -> dict[str, list]:
                 vals[col] = shared[int(v.text)]
             elif t == "str":
                 vals[col] = v.text
+            elif t == "e" or v.text is None:
+                # error-type cells (#DIV/0!) and empty <v/> elements carry
+                # no usable value — treat like a missing cell rather than
+                # aborting the whole manifest on float('#DIV/0!')
+                continue
             else:
                 vals[col] = float(v.text)
         rows.append(vals)

@@ -298,10 +298,11 @@ def run_claro_preprocess(
             hint = (f"; patients_info ids look like {sample_ids} vs box "
                     f"'img ID's like {sample_box} — check extensions/"
                     "numeric formatting match")
-        raise ValueError(
-            "claro_preprocess matched 0 slices between the patients_info "
-            f"manifest and the box manifest{hint}"
-        )
+        src = ("between the patients_info manifest and the box manifest"
+               if boxes is not None else
+               "from the patients_info manifest (no box manifest configured"
+               " — empty 'image' column, or a zero limit?)")
+        raise ValueError(f"claro_preprocess matched 0 slices {src}{hint}")
     print(f"[claro_preprocess] {len(slice_ids)} slices")
 
     stack, meta = prepare_patient_dataset(

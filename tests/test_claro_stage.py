@@ -213,6 +213,70 @@ def test_sliding_window_dataset_mat_and_png(tmp_path):
     assert x.shape == (1, 16, 16) and 0.0 <= x.min() and x.max() <= 1.0
 
 
+def test_sliding_window_numeric_ids_and_empty_cells(tmp_path):
+    """xlsx numeric cells arrive as float: a patient id of 12.0 must map to
+    12_5.mat (not 12.0_5.mat), and an empty manifest cell must be diagnosed
+    with its row index instead of a bare TypeError."""
+    import pytest
+    import scipy.io as sio
+
+    from gan_discovery_pso_tpu.data.medical import load_sliding_window_dataset
+
+    cfg_data = {"channel": 1, "image_size": 16, "nan_cutoff": 0.5}
+    img_dir = tmp_path / "sw" / "1" / "16" / "0.5"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    sio.savemat(img_dir / "12_5.mat", {"img": rng.rand(16, 16).astype(np.float32)})
+
+    ds = load_sliding_window_dataset(
+        {"id": [12.0], "id_slice": [5.0], "label": [1.0]},
+        tmp_path / "sw", cfg_data, flavor="claro")
+    assert ds.patient_ids == ("12",) and ds.slice_ids == ("5",)
+
+    with pytest.raises(ValueError, match="manifest row 0"):
+        load_sliding_window_dataset(
+            {"id": [12.0], "id_slice": [5.0], "label": [None]},
+            tmp_path / "sw", cfg_data, flavor="claro")
+
+
+def test_xlsx_error_and_empty_value_cells(tmp_path):
+    """Error-type cells (#DIV/0!) and empty <v/> elements must read as
+    missing cells, not abort the manifest with float('#DIV/0!')."""
+    import zipfile
+
+    from gan_discovery_pso_tpu.data.xlsx import read_xlsx, write_xlsx
+
+    p = write_xlsx(tmp_path / "m.xlsx", {"a": [1.0], "b": [2.0]})
+    with zipfile.ZipFile(p) as zf:
+        contents = {n: zf.read(n) for n in zf.namelist()}
+    sheet = contents["xl/worksheets/sheet1.xml"].decode()
+    # replace the data-row cells with an error cell and an empty <v/>
+    import re
+
+    row2 = re.search(r'<row r="2".*?</row>', sheet).group(0)
+    new_row2 = ('<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c>'
+                "<c r=\"B2\"><v/></c></row>")
+    contents["xl/worksheets/sheet1.xml"] = sheet.replace(row2, new_row2).encode()
+    p2 = tmp_path / "m2.xlsx"
+    with zipfile.ZipFile(p2, "w") as zf:
+        for n, data in contents.items():
+            zf.writestr(n, data)
+    out = read_xlsx(p2)
+    assert out["a"] == [None] and out["b"] == [None]
+
+
+def test_cv_evaluator_single_class_fold_auc_nan():
+    """A fold whose labels are all one class degrades auc to nan like the
+    other ratio metrics instead of raising inside roc_auc_score."""
+    from gan_discovery_pso_tpu.analysis.reporting import CvEvaluator
+
+    ev = CvEvaluator()
+    ev.add_fold([1, 1, 1], [0.9, 0.8, 0.7])
+    rows = ev.fold_metrics()
+    assert np.isnan(rows[0]["auc"])
+    assert rows[0]["recall"] == 1.0
+
+
 def test_xlsx_duplicate_header_raises(tmp_path):
     """Two columns sharing a name would silently interleave into one dict
     key; the reader must refuse instead."""
