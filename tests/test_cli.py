@@ -139,6 +139,29 @@ def test_cli_export_model_generator(tmp_path):
     assert not (tmp_path / "reports").exists()  # no run dir side effects
 
 
+def test_cli_export_model_honors_tiny(tmp_path):
+    """--tiny applies the same overrides as the run-dir stages: exporting
+    from a tiny-run checkpoint must trace tiny shapes without the user
+    hand-replicating every --set (used to be silently ignored)."""
+    import jax
+
+    from gan_discovery_pso_tpu.core.checkpoint import save_pytree
+    from gan_discovery_pso_tpu.models import GeneratorDef, generator_init
+
+    # tiny-run shapes: z_dim=8, features_g=8 (cli _TINY)
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(z_dim=8, features_g=8))
+    gan_dir = tmp_path / "gan"
+    gan_dir.mkdir()
+    save_pytree(gan_dir / "best_g.msgpack",
+                {"state": {"gen_params": gp, "gen_state": gs}})
+    out = tmp_path / "g.shlo"
+    rc = main([
+        "export-model", "generator", str(out),
+        "--path-gan", str(gan_dir), "--batch", "2", "--tiny",
+    ])
+    assert rc == 0 and out.stat().st_size > 0
+
+
 def test_cli_convert_and_export_torch_roundtrip(tmp_path):
     """`export-torch` is the CLI inverse of `convert-torch`: tar → msgpack
     → tar preserves the state dict exactly."""
