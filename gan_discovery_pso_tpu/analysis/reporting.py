@@ -225,6 +225,52 @@ def plot_scatter_2d(points, labels, out_path, title="", centers=None, extra=None
     return Path(out_path)
 
 
+def plot_latent_space(embeddings, labels, out_dir, dataset="Training"):
+    """CAE 2-D latent scatter ≡ `plot_feature_latent_space`
+    (reference util_cae.py:375-409): per-label scatter titled
+    'Latent space {dataset} Set' → latent_space_{dataset}.png."""
+    embeddings = np.asarray(embeddings)
+    labels = np.asarray(labels)
+    fig, ax = plt.subplots()
+    for lab in np.unique(labels):
+        m = labels == lab
+        ax.scatter(embeddings[m, 0], embeddings[m, 1], label=str(lab),
+                   alpha=1, s=10, marker="o", edgecolors="none")
+    ax.legend()
+    ax.set_xlabel("var_0")
+    ax.set_ylabel("var_1")
+    ax.set_title(f"Latent space {dataset} Set")
+    out_path = Path(out_dir) / f"latent_space_{dataset}.png"
+    fig.savefig(out_path, dpi=400, format="png")
+    plt.close(fig)
+    return out_path
+
+
+def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
+                          r1=(-1, 1), n=10, w=28):
+    """Decoder sweep over the 2-D latent box ≡ `plot_img_latent_space`
+    (reference util_cae.py:355-374): an n x n superimage whose rows span r1
+    BOTTOM-up and columns span r0 left-to-right. The reference decodes one
+    z per host-loop step; here ALL n**2 latents decode as ONE batch.
+
+    decode_batch: z [B, 2] -> images [B, ...] reshapeable to (w, w)."""
+    xs = np.linspace(*r0, n)
+    ys = np.linspace(*r1, n)
+    grid = np.array([[x, y] for y in ys for x in xs], np.float32)  # [n*n, 2]
+    imgs = np.asarray(decode_batch(grid)).reshape(n, n, w, w)  # [row, col]
+    canvas = np.zeros((n * w, n * w), np.float32)
+    for i in range(n):  # row i = latent y index, drawn bottom-up
+        for j in range(n):
+            canvas[(n - 1 - i) * w:(n - i) * w, j * w:(j + 1) * w] = imgs[i, j]
+    fig, ax = plt.subplots()
+    ax.imshow(canvas, extent=[*r0, *r1], cmap="gist_gray")
+    out_path = Path(out_dir) / (
+        f"img_latent_r0_{r0[0]}_{r0[1]}__r1_{r1[0]}_{r1[1]}.png")
+    fig.savefig(out_path, dpi=400, format="png")
+    plt.close(fig)
+    return out_path
+
+
 def plot_voronoi(points, out_path, labels=None, title="Voronoi"):
     """Voronoi diagram with closed infinite regions
     (reference util_latent_analysis.py:66-166)."""

@@ -92,11 +92,28 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
     # artifact contract: encoder.pt/decoder.pt (reference cae.py:205-206)
     ctx.ckpt.save_state_dict("encoder", {"params": state.enc_params, "state": state.enc_state})
     ctx.ckpt.save_state_dict("decoder", {"params": state.dec_params, "state": state.dec_state})
-    # encoded_samples_train.csv (reference cae.py:214)
+    # encoded_samples_{train,valid}.csv (reference cae.py:214-218)
     emb = encode_dataset(state, ds.images)
     save_encoded_samples_csv(
         ctx.run.interim_dir / "encoded_samples_train.csv", emb, np.asarray(ds.labels)
     )
+    emb_val = encode_dataset(state, val.images)
+    save_encoded_samples_csv(
+        ctx.run.interim_dir / "encoded_samples_valid.csv", emb_val, np.asarray(val.labels)
+    )
+    if d.latent_dim == 2:
+        # 2-D latent visualizations (reference cae.py:218-221): decoder
+        # sweep over the latent box + labelled train/valid scatters
+        from gan_discovery_pso_tpu.models.cae import cae_decoder_apply
+
+        decode = jax.jit(lambda z: cae_decoder_apply(
+            state.dec_params, state.dec_state, z)[0])
+        reporting.plot_img_latent_space(
+            decode, ctx.run.reports_dir, w=int(cfg.data.image_size))
+        reporting.plot_latent_space(emb, np.asarray(ds.labels),
+                                    ctx.run.reports_dir, dataset="Training")
+        reporting.plot_latent_space(emb_val, np.asarray(val.labels),
+                                    ctx.run.reports_dir, dataset="Validation")
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cae_training.png")
     return state, history
 

@@ -208,3 +208,35 @@ def test_cv_evaluator_and_error_reject(tmp_path):
     # raising the reliability bar can only reject more
     assert np.all(np.diff(rr) >= -1e-9)
     assert (tmp_path / "er.png").exists()
+
+
+def test_plot_img_latent_space_layout(tmp_path):
+    """Reference layout parity (util_cae.py:355-374): rows span r1 BOTTOM-up,
+    columns span r0 left-to-right — the decoder output for the smallest
+    (x, y) lands in the bottom-left tile."""
+    import numpy as np
+
+    from gan_discovery_pso_tpu.analysis import reporting
+
+    w, n = 4, 3
+
+    def decode(z):
+        # each tile filled with its latent x value; bottom row = y min
+        return np.repeat(np.asarray(z)[:, 0], w * w).reshape(-1, 1, w, w)
+
+    p = reporting.plot_img_latent_space(decode, tmp_path, r0=(-1, 1),
+                                        r1=(-1, 1), n=n, w=w)
+    assert p.exists() and p.name == "img_latent_r0_-1_1__r1_-1_1.png"
+
+
+def test_plot_latent_space_files(tmp_path):
+    import numpy as np
+
+    from gan_discovery_pso_tpu.analysis import reporting
+
+    emb = np.random.RandomState(0).randn(20, 2)
+    labs = np.repeat([0, 1], 10)
+    p1 = reporting.plot_latent_space(emb, labs, tmp_path, dataset="Training")
+    p2 = reporting.plot_latent_space(emb, labs, tmp_path, dataset="Validation")
+    assert p1.name == "latent_space_Training.png" and p1.exists()
+    assert p2.name == "latent_space_Validation.png" and p2.exists()
