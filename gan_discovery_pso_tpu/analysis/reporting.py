@@ -271,6 +271,34 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     return out_path
 
 
+def recon_panel(originals, reconstructions, out_path, n_img: int = 10):
+    """Original-vs-reconstruction 2 x n panel ≡ `show_images`
+    (reference utils_vq_vae/util_report.py:91-115): originals on the top
+    row, reconstructions on the bottom, center columns titled. The
+    reference forwards one image per subplot; callers here pass an already
+    BATCHED reconstruction."""
+    originals = np.asarray(originals)[:n_img]
+    reconstructions = np.asarray(reconstructions)[:n_img]
+    n = len(originals)
+    fig = plt.figure(figsize=(9, 2))
+    for i in range(n):
+        ax = fig.add_subplot(2, n, i + 1)
+        ax.imshow(originals[i].squeeze(), cmap="gist_gray")
+        ax.get_xaxis().set_visible(False)
+        ax.get_yaxis().set_visible(False)
+        if i == n // 2:
+            ax.set_title("Original images")
+        ax = fig.add_subplot(2, n, n + i + 1)
+        ax.imshow(reconstructions[i].squeeze(), cmap="gist_gray")
+        ax.get_xaxis().set_visible(False)
+        ax.get_yaxis().set_visible(False)
+        if i == n // 2:
+            ax.set_title("Reconstructed images")
+    fig.savefig(out_path, dpi=400, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_voronoi(points, out_path, labels=None, title="Voronoi"):
     """Voronoi diagram with closed infinite regions
     (reference util_latent_analysis.py:66-166)."""

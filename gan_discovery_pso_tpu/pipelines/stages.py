@@ -916,14 +916,45 @@ def run_vqvae(
     iid = ctx.dataset("train", drange=(-1, 1))
     val_iid = ctx.dataset("test", drange=(-1, 1))
     val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
+
+    from gan_discovery_pso_tpu.models import vqvae_gan_apply
+
+    recon = jax.jit(lambda p, s, x: vqvae_gan_apply(p, s, x, d, train=False)[0])
+
+    def report_cb(epoch, st):
+        # per-epoch original-vs-reconstruction panels for the three splits
+        # (reference vq_vae.py:221-227 show_images → img_loss_{phase}_{e+1})
+        for phase, split in (("train", iid), ("val_ood", val_ood),
+                             ("val_iid", val_iid)):
+            if len(split.images) == 0:
+                continue
+            x = jnp.asarray(np.asarray(split.images[:10]))
+            xr = np.asarray(recon(st.params, st.model_state, x))
+            reporting.recon_panel(
+                np.asarray(x), xr,
+                ctx.run.reports_dir / f"img_loss_{phase}_{epoch + 1}.png")
+
     state, history, best_epoch = train_vqvae(
         state, d, adam,
         ctx.batches(iid, bs), ctx.batches(val_iid, bs, drop_last=False), ctx.batches(val_ood, bs, drop_last=False),
         num_epochs=epochs, beta=beta,
         metrics_writer=ctx.metrics("history_vqvae"),
+        report_cb=report_cb,
     )
     ctx.ckpt.save_best("vqvae", best_epoch,
                        {"params": state.params, "state": state.model_state})
+    # decoder samples from fixed noise at end of training (reference
+    # vq_vae.py:214,234 show_gan_images → synthetic_images_{epoch}.png)
+    noise = jax.random.normal(ctx.keys("vqvae_fixed_noise"),
+                              (32, d.embedded_dim, 1, 1), jnp.float32)
+    from gan_discovery_pso_tpu.models.dcgan import generator_apply
+
+    synth, _ = generator_apply(state.params["decoder"],
+                               state.model_state["decoder"], noise, train=False)
+    reporting.image_grid(
+        np.asarray(synth),
+        ctx.run.reports_dir / f"synthetic_images_{epochs - 1}.png",
+        drange=(-1, 1))
     reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
     return state, history, d
 

@@ -110,9 +110,14 @@ def train_vqvae(
     beta: float = 0.25,
     frozen_decoder: bool = True,
     metrics_writer=None,
+    report_cb=None,
 ):
     """Epoch driver: best model by val_ood recon (reference
-    src/training/vq_vae.py:240-245). Returns (state, history, best_epoch)."""
+    src/training/vq_vae.py:240-245). Returns (state, history, best_epoch).
+
+    report_cb(epoch, state): optional per-epoch artifact hook — the stage
+    uses it for the reference's img_loss_{phase}_{epoch+1}.png recon panels
+    (vq_vae.py:221-227)."""
     train_step, eval_step = make_vqvae_steps(d, adam, beta, frozen_decoder)
     history = {"train_loss": [], "val_iid_loss": [], "val_ood_loss": []}
     best = float("inf")
@@ -135,6 +140,8 @@ def train_vqvae(
         history["val_ood_loss"].append(vood)
         if metrics_writer is not None:
             metrics_writer.append(epoch, train_loss=tr, val_iid_loss=viid, val_ood_loss=vood)
+        if report_cb is not None:
+            report_cb(epoch, state)
         # empty val_ood set → vood is NaN and `nan < best` is always False,
         # which would silently keep the RANDOM INIT as "best"; fall back to
         # val_iid, then train loss (same guard as run_inverter's phases)

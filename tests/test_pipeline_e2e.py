@@ -307,6 +307,11 @@ def test_vqvae_and_analyses(roots, artifacts):
     assert np.isfinite(hist["train_loss"][0])
     # codebook was seeded from PSO particles (16 of them exist: 2 classes x 8)
     assert state.params["codebook"].shape == (16, 8)
+    # per-epoch recon panels + end-of-training decoder samples (reference
+    # vq_vae.py:221-227,234)
+    for phase in ("train", "val_iid", "val_ood"):
+        assert (ctxV.run.reports_dir / f"img_loss_{phase}_1.png").exists()
+    assert (ctxV.run.reports_dir / "synthetic_images_0.png").exists()
 
     # pixelcnn prior from the trained vqvae run (the CLI pixelcnn-prior leg)
     from gan_discovery_pso_tpu.pipelines import run_pixelcnn_prior_from_vqvae
