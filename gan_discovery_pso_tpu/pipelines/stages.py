@@ -819,14 +819,31 @@ def run_pso_inverter(
 
 
 def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params,
-                            images, iterations: int = 500):
+                            images, iterations: int = 500, num_vis: int = 10):
     """Per-image gradient descent on z (reference regularize_inverter.py via
-    util_inverter.invert:544-638), batched."""
-    z, hist = invert(images, gen_params, gen_state, enc_params, iterations=iterations)
+    util_inverter.invert:544-638), batched. num_vis reconstruction
+    snapshots decode post-hoc from the recorded z trajectory — the
+    reference's `synthetic_images_{step}.png` grids (:622-624) without
+    breaking the fused scan."""
+    z, hist = invert(images, gen_params, gen_state, enc_params,
+                     iterations=iterations, record_z=num_vis > 0)
+    z_hist = hist.pop("z", None)
     reporting.plot_training_curves(
         {k: list(v) for k, v in hist.items()},
         ctx.run.reports_dir / "invert_loss.png",
     )
+    if z_hist is not None and num_vis > 0:
+        from gan_discovery_pso_tpu.models.dcgan import generator_apply
+
+        every = max(iterations // num_vis, 1)
+        for step in range(0, iterations + 1, every):
+            x_rec, _ = generator_apply(
+                gen_params, gen_state, jnp.asarray(z_hist[min(step, len(z_hist) - 1)]),
+                train=False)
+            reporting.image_grid(
+                np.asarray(x_rec),
+                ctx.run.reports_dir / f"synthetic_images_{step}.png",
+                drange=(-1, 1))
     np.savez_compressed(ctx.run.interim_dir / "inverted_z.npz", z=np.asarray(z))
     return z, hist
 

@@ -265,12 +265,17 @@ def invert(
     learning_rate: float = 1e-2,
     loss_pix_weight: float = 1.0,
     loss_reg_weight: float = 2.0,
+    record_z: bool = False,
 ):
     """Batched latent optimization (reference invert, util_inverter.py:544-638
     runs one image at a time; here all images optimize independently in one
     scan). x: [B,C,H,W] in [-1,1].
 
     Returns (z [B,z,1,1], history {loss_pix, loss_reg, loss}: [iters] means).
+    record_z=True adds history["z"] [iters, B, z, 1, 1] — the per-step
+    latents, which the stage decodes post-hoc into the reference's
+    `synthetic_images_{step}.png` snapshots (util_inverter.py:622-624)
+    without breaking the fused scan.
 
     Independence: the optimized loss SUMS per-image means over the batch,
     so each image's gradient equals its B=1 gradient and batched
@@ -298,7 +303,10 @@ def invert(
             (loss, (lp, lr)), grads = jax.value_and_grad(loss_fn, has_aux=True)(z)
             updates, opt = tx.update(grads, opt, z)
             z = optax.apply_updates(z, updates)
-            return (z, opt), {"loss": loss / n_img, "loss_pix": lp, "loss_reg": lr}
+            rec = {"loss": loss / n_img, "loss_pix": lp, "loss_reg": lr}
+            if record_z:
+                rec["z"] = z
+            return (z, opt), rec
 
         (z, _), hist = jax.lax.scan(step, (z0, tx.init(z0)), None, length=iterations + 1)
         return z, hist

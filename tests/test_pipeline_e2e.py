@@ -264,9 +264,14 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     ctxR = _ctx(roots, "regularize_inverter")
     imgs = ctxR.dataset("test", drange=(-1, 1)).images[:2]
     z, hist = run_regularize_inverter(
-        ctxR, gan_state.gen_params, gan_state.gen_state, enc_params, imgs, iterations=10
+        ctxR, gan_state.gen_params, gan_state.gen_state, enc_params, imgs,
+        iterations=10, num_vis=2,
     )
     assert (ctxR.run.interim_dir / "inverted_z.npz").exists()
+    # reference synthetic_images_{step}.png snapshots (util_inverter:622-624)
+    for step in (0, 5, 10):
+        assert (ctxR.run.reports_dir / f"synthetic_images_{step}.png").exists()
+    assert "z" not in hist  # vis latents are consumed, not leaked
 
     ctxS = _ctx(roots, "regularize_inverter_statistics")
     z2, w, hist2 = run_regularize_inverter_statistics(
