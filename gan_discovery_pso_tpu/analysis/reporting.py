@@ -271,6 +271,38 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     return out_path
 
 
+def plot_phase_losses(history: dict, out_dir, phase: str):
+    """Adversarial-inverter component plots ≡ `plot_training`'s
+    {phase}_G_losses.png / {phase}_D_losses.png
+    (reference util_report_inverter.py:41-74): encoder total + adv +
+    rec_pix (+ rec_fea) on one figure, discriminator total + adv + R1 on
+    another. Series absent from `history` are skipped."""
+    out_dir = Path(out_dir)
+    paths = []
+    for name, keys, colors in (
+        ("G_losses", (f"{phase}_loss_enc", f"{phase}_loss_enc_adv",
+                      f"{phase}_loss_enc_rec_pix", f"{phase}_loss_enc_rec_fea"),
+         ("r", "b", "g", "m")),
+        ("D_losses", (f"{phase}_loss_disc", f"{phase}_loss_disc_adv",
+                      f"{phase}_loss_disc_r1penalty"), ("r", "b", "g")),
+    ):
+        present = [(k, c) for k, c in zip(keys, colors) if history.get(k)]
+        if len(present) < 2:
+            continue
+        fig, ax = plt.subplots(figsize=(8, 6))
+        for k, c in present:
+            ax.plot(history[k], label=k, color=c)
+        ax.set_title(f"{phase} {'G' if name == 'G_losses' else 'D'} losses")
+        ax.set_xlabel("Epochs")
+        ax.set_ylabel("Losses")
+        ax.legend()
+        p = out_dir / f"{phase}_{name}.png"
+        fig.savefig(p, dpi=200, format="png")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 def recon_panel(originals, reconstructions, out_path, n_img: int = 10):
     """Original-vs-reconstruction 2 x n panel ≡ `show_images`
     (reference utils_vq_vae/util_report.py:91-115): originals on the top

@@ -623,24 +623,35 @@ def run_inverter(
                 state, m = train_step(state, x, ctx.keys("inv_step"))
                 tr_metrics.append(m)
 
-            def _phase(batches_fn):
+            def _mean_key(ms, k):
+                vals = [float(m[k]) for m in ms if k in m]
+                return float(np.mean(vals)) if vals else np.nan
+
+            def _phase(batches_fn, phase):
                 ms = [eval_step(state, x, ctx.keys("inv_eval"))
                       for x, _ in batches_fn(epoch)]
+                # per-phase component series for {phase}_G_losses.png
+                # (reference util_report_inverter.py:41-74)
+                for k in ("loss_enc", "loss_enc_adv", "loss_enc_rec_pix",
+                          "loss_enc_rec_fea"):
+                    history.setdefault(f"{phase}_{k}", []).append(_mean_key(ms, k))
                 if not ms:
                     return np.nan, np.nan
                 pixfea = float(np.mean([
                     float(m["loss_enc_rec_pix"] + m["loss_enc_rec_fea"]) for m in ms
                 ]))
-                total = float(np.mean([float(m["loss_enc"]) for m in ms]))
-                return pixfea, total
+                return pixfea, _mean_key(ms, "loss_enc")
 
             # all three reference phases (util_inverter.py:349)
-            vi_pixfea, vi_total = _phase(ctx.batches(val_iid, bs, drop_last=False))
-            vo_pixfea, vo_total = _phase(ctx.batches(val_ood, bs, drop_last=False))
-            tr_loss = float(np.mean([float(m["loss_enc"]) for m in tr_metrics]))
+            vi_pixfea, vi_total = _phase(ctx.batches(val_iid, bs, drop_last=False), "val_iid")
+            vo_pixfea, vo_total = _phase(ctx.batches(val_ood, bs, drop_last=False), "val_ood")
+            tr_loss = _mean_key(tr_metrics, "loss_enc")
+            for k in ("loss_enc_adv", "loss_enc_rec_pix", "loss_enc_rec_fea",
+                      "loss_disc", "loss_disc_adv", "loss_disc_r1penalty"):
+                history.setdefault(f"train_{k}", []).append(_mean_key(tr_metrics, k))
             for k, v in (("train_loss_enc", tr_loss),
-                         ("val_iid_pixfea", vi_pixfea), ("val_iid_loss_enc", vi_total),
-                         ("val_ood_pixfea", vo_pixfea), ("val_ood_loss_enc", vo_total)):
+                         ("val_iid_pixfea", vi_pixfea),
+                         ("val_ood_pixfea", vo_pixfea)):
                 history.setdefault(k, []).append(v)
             mw.append(epoch, train_loss_enc=tr_loss, val_iid_pixfea=vi_pixfea,
                       val_ood_pixfea=vo_pixfea)
@@ -654,7 +665,15 @@ def run_inverter(
         raise ValueError(training_fun)
 
     ctx.ckpt.save_state_dict("encoder", {"params": enc_final})
-    reporting.plot_training_curves(history, ctx.run.reports_dir / "inverter_training.png")
+    summary_keys = ("train_loss", "val_iid_loss", "val_ood_loss",
+                    "train_loss_enc", "val_iid_loss_enc", "val_ood_loss_enc",
+                    "val_iid_pixfea", "val_ood_pixfea")
+    reporting.plot_training_curves(
+        {k: v for k, v in history.items() if k in summary_keys},
+        ctx.run.reports_dir / "inverter_training.png")
+    # per-phase component figures (reference {phase}_G/D_losses.png)
+    for phase in ("train", "val_iid", "val_ood"):
+        reporting.plot_phase_losses(history, ctx.run.reports_dir, phase)
     mw.close()
     return enc_final, history
 

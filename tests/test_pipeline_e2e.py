@@ -661,3 +661,11 @@ def test_inverter_pix_fea_rec_adv_pipeline(roots, artifacts):
         assert k in hist and len(hist[k]) == 2
         assert all(np.isfinite(v) for v in hist[k]), k
     assert (ctx.run.models_dir / "encoder.msgpack").exists()
+    # per-phase component series + reference G/D loss figures
+    # (util_report_inverter.py:41-74)
+    for k in ("train_loss_enc_adv", "train_loss_disc_r1penalty",
+              "val_iid_loss_enc_rec_fea"):
+        assert k in hist and len(hist[k]) == 2
+    assert (ctx.run.reports_dir / "train_G_losses.png").exists()
+    assert (ctx.run.reports_dir / "train_D_losses.png").exists()
+    assert (ctx.run.reports_dir / "val_iid_G_losses.png").exists()
