@@ -271,6 +271,36 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     return out_path
 
 
+def plot_cnn_training(history: dict, out_dir, label=None):
+    """CNN per-metric train/val figures ≡ `plot_training`
+    (reference util_report.py:143-225): one figure per metric, the
+    reference's exact filenames (suffixed _{label} for the one-vs-all
+    battery)."""
+    out_dir = Path(out_dir)
+    suffix = f"_{label}" if label is not None else ""
+    paths = []
+    for tk, vk, title, fname in (
+        ("train_loss", "val_loss", "Training and validation loss", "train_val_loss"),
+        ("train_acc", "val_acc", "Training and Validation Accuracy", "train_val_acc"),
+        ("train_f1", "val_f1", "Training and Validation F1-score", "train_val_f1-score"),
+        ("train_prec", "val_prec", "Training and Validation Precision", "train_val_precision"),
+        ("train_rec", "val_rec", "Training and Validation Recall", "train_val_recall"),
+    ):
+        if not (history.get(tk) and history.get(vk)):
+            continue
+        fig, ax = plt.subplots(figsize=(8, 6))
+        ax.plot(history[tk], label=tk, color="r")
+        ax.plot(history[vk], label=vk, color="b")
+        ax.set_title(title)
+        ax.set_xlabel("Epochs")
+        ax.legend()
+        p = out_dir / f"{fname}{suffix}.png"
+        fig.savefig(p, dpi=200, format="png")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 def plot_phase_losses(history: dict, out_dir, phase: str):
     """Adversarial-inverter component plots ≡ `plot_training`'s
     {phase}_G_losses.png / {phase}_D_losses.png

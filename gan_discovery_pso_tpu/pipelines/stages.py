@@ -432,6 +432,7 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
         )
         ctx.ckpt.save_state_dict(f"model_{label}", {"params": state.params, "state": state.model_state})
         reporting.plot_training_curves(history, ctx.run.reports_dir / f"cnn_{label}.png")
+        reporting.plot_cnn_training(history, ctx.run.reports_dir, label=label)
         models[label] = state
     return models
 
@@ -457,6 +458,7 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
     )
     ctx.ckpt.save_state_dict("model", {"params": state.params, "state": state.model_state})
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cnn_multipatient.png")
+    reporting.plot_cnn_training(history, ctx.run.reports_dir)
     return state, rdef
 
 
