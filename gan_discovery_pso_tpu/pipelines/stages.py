@@ -797,6 +797,8 @@ def run_pso_inverter(
         )
         ctx.ckpt.save_state_dict(f"model_{ood_patient}",
                                  {"params": fine_state.params, "state": fine_state.model_state})
+        # fine-tune training figures (reference pso_inverter.py:263)
+        reporting.plot_cnn_training(_h, ctx.run.reports_dir, label=ood_patient)
 
     # --- phase 2: encoder-seeded swarm over the patient's slices
     ood = ctx.dataset("train", classes=(ood_patient,), drange=(-1, 1))
@@ -827,10 +829,24 @@ def run_pso_inverter(
         ctx.run.interim_dir, ood_patient,
         res.particle_trajectories(), res.velocity_trajectories(), kind="ood",
     )
+    hd = res.history_dict()
     reporting.plot_convergence(
-        res.history_dict()["global_best_val"],
+        hd["global_best_val"],
         ctx.run.reports_dir / f"convergence_patient_{ood_patient}.png",
     )
+    # swarm diagnostics + per-iteration artifacts, same contract as the
+    # discovery stage (reference pso_inverter.py:326-340: history_pso plot,
+    # per-dimension features, image grids/GIF)
+    reporting.plot_training_curves(
+        {"mean_mse": hd["mean_mse"]},
+        ctx.run.reports_dir / "mean_mse.png", title="mean pairwise distance")
+    reporting.plot_particle_dimensions(
+        res.particle_trajectories(),
+        ctx.run.reports_dir / f"dims_patient_{ood_patient}")
+    from gan_discovery_pso_tpu.pipelines.pso_discovery import render_swarm_grids
+
+    render_swarm_grids(ctx, gen_params, gen_state, res, ood_patient,
+                       tag=f"patient_{ood_patient}")
     return res, fine_state
 
 

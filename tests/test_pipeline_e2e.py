@@ -259,6 +259,12 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     assert (ctxP.run.interim_dir / "particles_position_ood_class_1.pkl").exists()
     assert (ctxP.run.models_dir / "model_1.msgpack").exists()
     assert np.isfinite(float(res.g_best_val))
+    # swarm diagnostics + per-iteration grids + fine-tune figures
+    # (reference pso_inverter.py:263,326-340)
+    assert (ctxP.run.reports_dir / "mean_mse.png").exists()
+    assert (ctxP.run.reports_dir / "train_val_loss_1.png").exists()
+    assert (ctxP.run.reports_dir / "training_plot" / "1" / "pso_images_1.png").exists()
+    assert list((ctxP.run.reports_dir / "dims_patient_1").glob("*.png"))
 
     # gradient inversion
     ctxR = _ctx(roots, "regularize_inverter")
