@@ -271,6 +271,29 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     return out_path
 
 
+def plot_digits(ds, out_path, n: int = 5, seed: int = 42):
+    """5x5 random labelled digit grid ≡ `plot_digits`
+    (reference util_mnist.py:6-17), emitted on the first train-split load
+    of a run (util_data.py:70/106). Deterministic sample instead of the
+    reference's unseeded random.choice."""
+    rng = np.random.RandomState(seed)
+    imgs = np.asarray(ds.images)
+    labels = np.asarray(ds.labels)
+    if len(imgs) == 0:
+        return None
+    idx = rng.randint(0, len(imgs), size=n * n)
+    fig, axs = plt.subplots(n, n, figsize=(8, 8))
+    for ax, i in zip(axs.flatten(), idx):
+        ax.imshow(imgs[i].squeeze(), cmap="gist_gray")
+        ax.set_title("Label: %d" % int(labels[i]))
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_cnn_training(history: dict, out_dir, label=None):
     """CNN per-metric train/val figures ≡ `plot_training`
     (reference util_report.py:143-225): one figure per metric, the

@@ -87,6 +87,18 @@ class StageContext:
             ds = ImageDataset(
                 ds.images[: self.limit], ds.labels[: self.limit], ds.drange, ds.source
             )
+        if split == "train" and not getattr(self, "_digits_plotted", False):
+            # sample-digit grid on the first train load of a run
+            # (reference util_mnist.plot_digits via get_public_dataset,
+            # util_data.py:70/106 → mnist.png); failures never break a stage
+            try:
+                from gan_discovery_pso_tpu.analysis import reporting
+
+                reporting.plot_digits(ds, self.run.reports_dir / "mnist.png",
+                                      seed=int(cfg_default(self.cfg, "seed", 42)))
+                self._digits_plotted = True
+            except Exception:
+                pass
         return ds
 
     def batches(self, ds: ImageDataset, batch_size: int, drop_last: bool = True):
