@@ -271,6 +271,24 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     return out_path
 
 
+def plot_battery_tree(activation: dict, classes, out_path):
+    """Classifier-battery activation curves ≡ reference
+    classifiers.py:219-239: for each class's test set, the count of
+    positive predictions from every classifier in the battery — high on
+    the matching classifier, low elsewhere."""
+    fig, ax = plt.subplots()
+    for label, counts in activation.items():
+        ax.plot(counts, label=str(label))
+    ax.legend()
+    ax.set_xticks(np.arange(len(classes)))
+    ax.set_xticklabels([str(c) for c in classes])
+    ax.set_xlabel("Classifiers")
+    ax.set_ylabel("Classifier activation per test set")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_digits(ds, out_path, n: int = 5, seed: int = 42):
     """5x5 random labelled digit grid ≡ `plot_digits`
     (reference util_mnist.py:6-17), emitted on the first train-split load

@@ -151,6 +151,39 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
     battery = train_classifier_battery(emb, labels, k=k, val_fraction=val_fraction)
     save_battery(ctx.run.models_dir / "classifiers.msgpack", battery)
 
+    # embeddings csvs + 2-D latent scatters (reference classifiers.py:150-163
+    # re-emits the CAE artifacts from its own run dir)
+    from gan_discovery_pso_tpu.train.cae import save_encoded_samples_csv
+
+    val = ctx.dataset("test", drange=(0, 1))
+    emb_te = encode_dataset(cae_state, val.images)
+    save_encoded_samples_csv(ctx.run.interim_dir / "encoded_samples_train.csv",
+                             emb, labels)
+    save_encoded_samples_csv(ctx.run.interim_dir / "encoded_samples_valid.csv",
+                             emb_te, np.asarray(val.labels))
+    if emb.shape[1] == 2:
+        reporting.plot_latent_space(emb, labels, ctx.run.reports_dir,
+                                    dataset="Training")
+        reporting.plot_latent_space(emb_te, np.asarray(val.labels),
+                                    ctx.run.reports_dir, dataset="Validation")
+
+    # classifier battery tree (reference classifiers.py:219-239): each
+    # class's TEST embeddings through every classifier, counting positive
+    # predictions (KNN predict == proba > 0.5) — fused battery posterior
+    # instead of the reference's per-classifier predict loops
+    from gan_discovery_pso_tpu.evaluation import compute_posterior as _cp
+
+    te_labels = np.asarray(val.labels)
+    p_te = np.asarray(_cp(battery, jnp.asarray(emb_te)))  # [N, C]
+    activation = {}
+    for label in np.asarray(battery.classes):
+        m = te_labels == label
+        if m.any():
+            activation[int(label)] = (p_te[m] > 0.5).sum(axis=0).tolist()
+    reporting.plot_battery_tree(
+        activation, list(np.asarray(battery.classes)),
+        ctx.run.reports_dir / "classifier_battery_tree.png")
+
     # per-class error-reject curves on the train-tail validation split
     # (reference classifiers.py:167,178-213: x_valid = h_tr rows[-val_size:])
     val_size = int(len(emb) * val_fraction)

@@ -83,6 +83,10 @@ def artifacts(roots):
 
     ctx2 = _ctx(roots, "classifiers")
     battery = run_classifiers(ctx2, cae_state=cae_state)
+    # battery-tree + embeddings artifacts (reference classifiers.py:150-239)
+    assert (ctx2.run.reports_dir / "classifier_battery_tree.png").exists()
+    assert (ctx2.run.interim_dir / "encoded_samples_train.csv").exists()
+    assert (ctx2.run.interim_dir / "encoded_samples_valid.csv").exists()
     out["classifiers"] = (ctx2, battery)
 
     ctx3 = _ctx(roots, "dcgan")
