@@ -58,32 +58,47 @@ def umap_project(data: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
     return reducer.fit_transform(np.asarray(data)), tag
 
 
-def get_clustering_algorithm(name: str, n_clusters: int, seed: int = 42):
-    """Factory matching the reference's names (util_latent_analysis.py:8-14 /
-    configs/dcgan_mnist.yaml:48)."""
+def get_clustering_algorithm(name: str, n_clusters: int, seed: int = 42,
+                             data=None):
+    """Factory matching the reference's names AND hyper-parameters
+    (util_pso_analysis.py:8-14; kmeans_fun/em_fun,
+    util_latent_analysis.py:245-300): KMeans(k-means++, n_init=10); the
+    GMM seeds means_init from a 1-iteration k-means++ GMM when `data` is
+    given (get_initial_means, :272-275), tol=1e-9, max_iter=2000."""
     from sklearn.cluster import KMeans
     from sklearn.mixture import GaussianMixture
 
     if name == "kmeans":
-        return KMeans(n_clusters=n_clusters, random_state=seed, n_init=10)
+        return KMeans(init="k-means++", n_clusters=n_clusters,
+                      random_state=seed, n_init=10)
     if name in ("em", "expectation_maximization"):
-        return GaussianMixture(n_components=n_clusters, random_state=seed)
+        means_init = None
+        if data is not None:
+            means_init = GaussianMixture(
+                n_components=n_clusters, init_params="k-means++",
+                tol=1e-9, max_iter=1, random_state=seed,
+            ).fit(np.asarray(data, np.float64)).means_
+        return GaussianMixture(n_components=n_clusters, means_init=means_init,
+                               tol=1e-9, max_iter=2000, random_state=seed)
     raise ValueError(name)
 
 
 def cluster_latents(data: np.ndarray, algorithm: str, n_clusters: int, seed: int = 42):
     """Fit + predict; returns (labels, centers, model). GMM centers are the
     component means (reference :272-300)."""
-    model = get_clustering_algorithm(algorithm, n_clusters, seed)
-    labels = model.fit_predict(np.asarray(data))
+    data = np.asarray(data, np.float64)  # reference fits .astype('double')
+    model = get_clustering_algorithm(algorithm, n_clusters, seed, data=data)
+    labels = model.fit_predict(data)
     centers = model.cluster_centers_ if hasattr(model, "cluster_centers_") else model.means_
     return labels, centers, model
 
 
 def assign_to_clusters(model, data: np.ndarray) -> np.ndarray:
     """Cluster assignment of new points (OoD-patient → discovered-cluster
-    mapping, reference src/training/pso_inverter_analysis.py:180-210)."""
-    return model.predict(np.asarray(data))
+    mapping, reference src/training/pso_inverter_analysis.py:180-210).
+    Predicts as float64 like the reference's .astype('double') (:205) —
+    sklearn's KMeans requires the fit dtype at predict time."""
+    return model.predict(np.asarray(data, np.float64))
 
 
 def mutual_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -117,7 +117,7 @@ def plot_gan_training(history: dict, out_dir):
     """The reference's GAN training plots (util_report_gan.py:9-45), one
     figure per axis so per-BATCH losses and per-EPOCH metrics never share an
     x-axis: train_loss.png (loss_gen/loss_disc vs steps), fid.png, is.png,
-    rec_loss_syn.png (vs epochs)."""
+    rec_loss_synthetic.png (vs epochs)."""
     out_dir = Path(out_dir)
     paths = []
     if history.get("loss_gen") and history.get("loss_disc"):
@@ -131,10 +131,12 @@ def plot_gan_training(history: dict, out_dir):
         fig.savefig(out_dir / "train_loss.png", dpi=200, format="png")
         plt.close(fig)
         paths.append(out_dir / "train_loss.png")
-    for key, title, ylab in (
-        ("fid", "Frechet Inception Distance", "fid"),
-        ("is", "Inception Score", "is"),
-        ("rec_loss_syn", "Reconstruction Loss Synthetic Samples", "Loss"),
+    for key, fname, title, ylab in (
+        ("fid", "fid.png", "Frechet Inception Distance", "fid"),
+        ("is", "is.png", "Inception Score", "is"),
+        # reference filename (util_report_gan.py:47) differs from the key
+        ("rec_loss_syn", "rec_loss_synthetic.png",
+         "Reconstruction Loss Synthetic Samples", "Loss"),
     ):
         series = [v for v in history.get(key, []) if v is not None]
         if series:
@@ -144,10 +146,187 @@ def plot_gan_training(history: dict, out_dir):
             ax.set_xlabel("epochs")
             ax.set_ylabel(ylab)
             ax.legend()
-            fig.savefig(out_dir / f"{key}.png", dpi=200, format="png")
+            fig.savefig(out_dir / fname, dpi=200, format="png")
             plt.close(fig)
-            paths.append(out_dir / f"{key}.png")
+            paths.append(out_dir / fname)
     return paths
+
+
+def plot_regularize_inverter_losses(history: dict, out_path):
+    """Gradient-inversion loss components (reference
+    util_report_inverter.py:76-84): loss_pix / loss_reg / loss on one
+    figure → regularize_inverter_losses.png."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for c, color in zip(("loss_pix", "loss_reg", "loss"), ("r", "b", "g")):
+        if history.get(c) is not None:
+            ax.plot(np.asarray(history[c]), label=c, color=color)
+    ax.set_title("Optimization losses")
+    ax.set_xlabel("Iterations")
+    ax.set_ylabel("Losses")
+    ax.legend()
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_posterior_histograms(stats: dict, out_dir, epoch):
+    """Per-epoch posterior energy/variance histogram + KDE pairs (reference
+    plot_histogram, util_gan_evaluation.py:167-192, called per eval epoch at
+    util_dcgan.py:268): `hist_{var}_{epoch}.png` and `kde_{var}_{epoch}.png`
+    with the reference's bin widths (energy 0.1, variance 0.01); seaborn's
+    histplot(kde=True) is a density histogram + scipy gaussian_kde here."""
+    from scipy.stats import gaussian_kde
+
+    out_dir = Path(out_dir)
+    paths = []
+    widths = {"energy": 0.1, "variance": 0.01}
+    for var, values in stats.items():
+        v = np.asarray(values, np.float64).ravel()
+        bin_range = abs(v.min()) + abs(v.max())
+        bins = max(1, int(bin_range / widths.get(var, 0.1)))
+
+        fig, ax = plt.subplots()
+        ax.hist(v, bins=bins, color="blue")
+        ax.set_ylabel("Occurrence")
+        ax.set_xlabel(var)
+        p = out_dir / f"hist_{var}_{epoch}.png"
+        fig.savefig(p, dpi=200, format="png")
+        plt.close(fig)
+        paths.append(p)
+
+        fig, ax = plt.subplots()
+        ax.hist(v, bins=bins, density=True, color="darkblue")
+        if len(v) > 1 and v.std() > 0:
+            xs = np.linspace(v.min(), v.max(), 200)
+            ax.plot(xs, gaussian_kde(v)(xs), lw=3)
+        ax.set_xlabel("Variance")  # the reference labels both plots this way
+        p = out_dir / f"kde_{var}_{epoch}.png"
+        fig.savefig(p, dpi=200, format="png")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
+def plot_sorted_distance_curves(series: dict, out_path):
+    """Sorted distance curves, one per entry (reference
+    pso_analysis_distance.py:169-228 fig1 → paiwise_mse.png — the typo'd
+    filename is the reference's)."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for name, values in series.items():
+        ax.plot(np.sort(np.asarray(values).ravel()), label=str(name))
+    ax.set_xlabel("pair index")
+    ax.set_ylabel("mse value")
+    ax.legend()
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_distance_kde(series: dict, out_path):
+    """Distance-distribution KDE overlay (reference fig2 →
+    latent_kde_distribution.png; sns.distplot replaced with a
+    scipy gaussian_kde + histogram, seaborn is not installed here)."""
+    from scipy.stats import gaussian_kde
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for name, values in series.items():
+        v = np.asarray(values, np.float64).ravel()
+        ax.hist(v, bins=30, density=True, alpha=0.3)
+        if len(v) > 1 and v.std() > 0:
+            xs = np.linspace(v.min(), v.max(), 200)
+            ax.plot(xs, gaussian_kde(v)(xs), label=str(name))
+    ax.set_xlabel("mse value")
+    ax.set_ylabel("counts")
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend()
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_ellipsoids(points, assignments, means, covariances, out_path,
+                    dim_red_algorithm=None):
+    """Gaussian-mixture component ellipses over the clustered points
+    (reference plot_ellipsoids, util_latent_analysis.py:202-243): each
+    component draws its points plus a 2√2·√eigval ellipse oriented along
+    the leading eigenvector."""
+    import matplotlib as mpl
+
+    pts = np.asarray(points)
+    asg = np.asarray(assignments)
+    colors = ["navy", "c", "cornflowerblue", "gold", "darkorange",
+              "darkviolet", "forestgreen", "salmon", "lightcoral",
+              "deepskyblue"]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for i, (mean, covar) in enumerate(zip(np.asarray(means), np.asarray(covariances))):
+        color = colors[i % len(colors)]
+        if not np.any(asg == i):
+            continue
+        v, w = np.linalg.eigh(covar)
+        v = 2.0 * np.sqrt(2.0) * np.sqrt(np.maximum(v, 0.0))
+        u = w[0] / np.linalg.norm(w[0])
+        ax.scatter(pts[asg == i, 0], pts[asg == i, 1], s=0.8, color=color)
+        angle = 180.0 * np.arctan(u[1] / u[0]) / np.pi
+        ell = mpl.patches.Ellipse(mean[:2], v[0], v[1], angle=180.0 + angle,
+                                  color=color)
+        ell.set_clip_box(ax.bbox)
+        ell.set_alpha(0.5)
+        ax.add_artist(ell)
+    tag = dim_red_algorithm or ""
+    ax.set_title(f"{tag} Gaussian Mixture".strip() if tag else "Latent Space")
+    ax.set_xlabel(f"{tag}_1" if tag else "Z_1")
+    ax.set_ylabel(f"{tag}_2" if tag else "Z_2")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_pca_variance(explained_variance, out_path):
+    """Cumulative explained-variance curve (reference pca_fun,
+    util_latent_analysis.py:21-28). Reproduces the reference's
+    cumulative-sum-up-to-but-excluding-i form (the curve starts at 0)."""
+    ev = np.asarray(explained_variance, np.float64)
+    frac = np.array([ev[:i].sum() for i in range(len(ev))]) / ev.sum()
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(frac, linestyle="-", linewidth=2.0)
+    ax.set_xlabel("PCA component")
+    ax.set_ylabel("Explained variance")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_mean_mse(series, out_path):
+    """Mean pairwise-distance trajectory — the `mean_mse` branch of the
+    reference's plot_training (util_report.py:219-227)."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(np.asarray(series), label="mean_mse", color="r")
+    ax.set_title("mse between particles position")
+    ax.set_xlabel("Iterations")
+    ax.set_ylabel("mean_mse")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def plot_particles_last_iteration(final_positions, out_path):
+    """Final particle position per latent dimension (reference
+    plot_features_last_iteration, util_report.py:36-51): x = position,
+    y = dimension index, one color per dimension."""
+    pos = np.asarray(final_positions)  # [N, d]
+    n, d = pos.shape
+    fig, ax = plt.subplots(figsize=(8, 6))
+    cmap = plt.get_cmap("hsv", d)
+    for dim in range(d):
+        ax.scatter(pos[:, dim], np.full(n, dim), s=10.0, marker="o",
+                   edgecolors="none", color=cmap(dim))
+    ax.xaxis.grid(True)
+    ax.set_xlabel("Particles Position")
+    ax.set_ylabel("Dimensions")
+    ax.set_title("Particle Position for each dimension at last PSO iteration")
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
 
 
 def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):

@@ -112,6 +112,14 @@ class RunDir:
         payload = {"overall_time_sec": time.time() - self._t0, **timings}
         with open(self.reports_dir / "timing.json", "w") as f:
             json.dump(payload, f, indent=2)
+        # literal-parity twin of the reference's pickle artifact
+        # (general/timing.pkl, src/training/pso_discovery.py:248-249)
+        import pickle
+
+        general = self.reports_dir / "general"
+        general.mkdir(parents=True, exist_ok=True)
+        with open(general / "timing.pkl", "wb") as f:
+            pickle.dump(payload, f)
 
     def __repr__(self):
         return f"RunDir({self.name}, reports={self.reports_dir})"

@@ -44,12 +44,57 @@ def _stack_classes(interim_dir, classes, kind="iid"):
     return np.concatenate(mats, 0), np.concatenate(labels, 0)
 
 
-def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None, kind: str = "iid"):
-    """Per-iteration PCA/UMAP projections + GIFs of the swarm trajectories
-    (reference pso_analysis.py:92-124)."""
-    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None,
+                     kind: str = "iid", iter_step: int = 1):
+    """Per-iteration PCA/UMAP projections of the cross-class swarm state
+    (reference pso_analysis.py:92-124): for every recorded iteration, stack
+    ALL classes' particle positions at that iteration (a class whose swarm
+    stopped early contributes its last recorded row, :104-110) and emit
 
-    # final-iteration projections across classes
+    - `training_plot/pca_space_{i}.png` + `pca_variance_plot_{i}.png`
+      (pca_fun, util_latent_analysis.py:16-43),
+    - `training_plot/umap_space_{i}.png` (umap_fun, :45-64),
+
+    then assemble `training_plot/pca_space.gif` (:124). `iter_step`
+    subsamples iterations (the reference projects every one; UMAP per
+    iteration is the expensive part).
+
+    Also emits final-iteration summary scatters `pca_{kind}.png` /
+    `umap_{kind}.png` at the reports root (framework extra)."""
+    classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    plot_dir = ctx.run.reports_dir / "training_plot"
+    plot_dir.mkdir(parents=True, exist_ok=True)
+
+    trajs = {c: load_particle_trajectories(pso_interim_dir, c, kind)
+             for c in classes}
+    n_iters = max(t.shape[0] for t in trajs.values())
+
+    pca_frames = []
+    for i in range(0, n_iters, max(1, int(iter_step))):
+        rows, labs = [], []
+        for c in classes:
+            t = trajs[c]
+            rows.append(t[min(i, t.shape[0] - 1)])
+            labs.append(np.full(rows[-1].shape[0], c))
+        data_i = np.concatenate(rows, 0)
+        labs_i = np.concatenate(labs, 0)
+        p_i, pca_model = pca_project(data_i, min(data_i.shape), return_model=True)
+        reporting.plot_pca_variance(
+            pca_model.explained_variance_,
+            plot_dir / f"pca_variance_plot_{i}.png",
+        )
+        pca_frames.append(reporting.plot_scatter_2d(
+            p_i[:, :2], labs_i, plot_dir / f"pca_space_{i}.png",
+            title="PCA projection of latent space (iid class)",
+        ))
+        u_i, method = umap_project(data_i, 2)
+        reporting.plot_scatter_2d(
+            u_i, labs_i, plot_dir / f"umap_space_{i}.png",
+            title=f"{method} projection of latent space (iid class)",
+        )
+    reporting.make_gif(pca_frames, plot_dir / "pca_space.gif")
+
+    # final-iteration projections across classes (framework summary)
     data, labels = _stack_classes(pso_interim_dir, classes, kind)
     p2 = pca_project(data, 2)
     reporting.plot_scatter_2d(p2, labels, ctx.run.reports_dir / f"pca_{kind}.png",
@@ -57,54 +102,114 @@ def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None, kind: str
     u2, method = umap_project(data, 2)
     reporting.plot_scatter_2d(u2, labels, ctx.run.reports_dir / f"umap_{kind}.png",
                               title=f"{method} of {kind} particles")
-
-    # per-iteration GIF for the first class (trajectory evolution)
-    traj = load_particle_trajectories(pso_interim_dir, classes[0], kind)
-    frames_dir = ctx.run.reports_dir / f"proj_iters_class_{classes[0]}"
-    frames_dir.mkdir(parents=True, exist_ok=True)
-    from sklearn.decomposition import PCA
-
-    model = PCA(n_components=2).fit(traj.reshape(-1, traj.shape[-1]))
-    frames = []
-    step = max(1, traj.shape[0] // 20)
-    for it in range(0, traj.shape[0], step):
-        pts = model.transform(traj[it])
-        frames.append(
-            reporting.plot_scatter_2d(
-                pts, np.zeros(len(pts), int),
-                frames_dir / f"iter_{it:03d}.png", title=f"iteration {it}",
-            )
-        )
-    reporting.make_gif(frames, ctx.run.reports_dir / f"pca_iters_class_{classes[0]}.gif")
     return {"pca": p2, "umap": u2, "labels": labels}
 
 
 def run_pso_analysis_clustering(
     ctx: StageContext, pso_interim_dir, ood_interim_dir=None,
     classes=None, ood_labels=None, algorithm=None, kind: str = "iid",
+    overlay_kind: str = "ood",
 ):
-    """Cluster discovered particles; optionally overlay / assign OoD latents
-    (reference pso_analysis_clustering.py:174-228,
-    pso_inverter_analysis.py:180-210)."""
+    """Cluster discovered particles; optionally overlay / assign OoD (or
+    inverted-IiD) latents (reference pso_analysis_clustering.py:174-228).
+
+    Reference artifact set:
+    - `models/{algorithm}.pkl` — the full-dimensional fitted model (:181-182);
+    - dim_space == 2: `training_plot/latent_space.png` (:183), plus
+      `training_plot/ellipsoid_Gaussian Mixture.png` for `em` (:184);
+    - per dim-reduction in (pca, umap): re-fit the clustering on the 2-D
+      reduced data (kmeans_fun/em_fun, :186-193) →
+      `training_plot/latent_space_{alg}.png` (+ `ellipsoid_{alg}.png` for em);
+    - per overlay label (`overlay_kind`='ood' or 'iid' ≡ the reference's
+      `ood_analysis` switch, :195-228): full-dim 2-D overlay
+      `latent_space_ood_{label}.png` and reduced overlay
+      `latent_space_{alg}_ood_{label}.png` (reducer.transform on the
+      overlay latents), capped at 1000 points like plot_latent_space (:193).
+
+    `clusters.png` / `voronoi.png` / `clusters_with_ood.png` +
+    `ood_cluster_assignment.json` are kept as framework extras."""
     classes = classes if classes is not None else ctx.data_cfg.iid_classes
     if algorithm is None:
         algorithm = str(ctx.cfg.trainer_pso_analysis.clustering_algorithm)
+    seed = _seed(ctx)
+    plot_dir = ctx.run.reports_dir / "training_plot"
+    plot_dir.mkdir(parents=True, exist_ok=True)
 
     data, labels = _stack_classes(pso_interim_dir, classes, kind)
+    data = data.astype(np.float64)
     cl_labels, centers, model = cluster_latents(data, algorithm, len(classes),
-                                                seed=_seed(ctx))
+                                                seed=seed)
+    import pickle
+
+    with open(ctx.run.models_dir / f"{algorithm}.pkl", "wb") as f:
+        pickle.dump(model, f)
+
+    if data.shape[1] == 2:
+        reporting.plot_scatter_2d(data, labels, plot_dir / "latent_space.png",
+                                  title="Latent Space")
+        if algorithm == "em":
+            reporting.plot_ellipsoids(
+                data, model.predict(data), model.means_, model.covariances_,
+                plot_dir / "ellipsoid_Gaussian Mixture.png",
+                dim_red_algorithm="Gaussian Mixture",
+            )
+
+    # overlay latents (reference :195-228: 'ood' → inverter particles,
+    # 'iid' → inverted-iid extractor particles)
+    ood_data = ood_lab = None
+    if ood_interim_dir is not None and ood_labels:
+        ood_data, ood_lab = _stack_classes(ood_interim_dir, ood_labels,
+                                           overlay_kind)
+        ood_data = ood_data.astype(np.float64)
+
+    from gan_discovery_pso_tpu.analysis.latent import make_umap
+
+    for dim_red in ("pca", "umap"):
+        if dim_red == "pca":
+            reduced, reducer = pca_project(data, 2, return_model=True)
+        else:
+            reducer, _ = make_umap(2, random_state=seed)
+            reduced = reducer.fit_transform(data)
+        red_labels, _red_centers, red_model = cluster_latents(
+            reduced, algorithm, len(classes), seed=seed)
+        reporting.plot_scatter_2d(
+            reduced, labels, plot_dir / f"latent_space_{dim_red}.png",
+            title=f"{dim_red} Latent Space",
+        )
+        if algorithm == "em":
+            reporting.plot_ellipsoids(
+                reduced, red_model.predict(reduced), red_model.means_,
+                red_model.covariances_, plot_dir / f"ellipsoid_{dim_red}.png",
+                dim_red_algorithm=dim_red,
+            )
+        if ood_data is not None:
+            for label in ood_labels:
+                sel = ood_data[ood_lab == label][:1000]
+                if dim_red == "pca" and data.shape[1] == 2:
+                    reporting.plot_scatter_2d(
+                        data, labels,
+                        plot_dir / f"latent_space_ood_{label}.png",
+                        title="Latent Space", extra=sel,
+                    )
+                reporting.plot_scatter_2d(
+                    reduced, labels,
+                    plot_dir / f"latent_space_{dim_red}_ood_{label}.png",
+                    title=f"{dim_red} Latent Space",
+                    extra=reducer.transform(sel),
+                )
+
+    # ---- framework extras (round-1 contract) ----
     p2 = pca_project(np.vstack([data, centers]), 2)
     reporting.plot_scatter_2d(
         p2[: len(data)], cl_labels, ctx.run.reports_dir / "clusters.png",
         title=f"{algorithm} clusters", centers=p2[len(data):],
     )
-    if data.shape[1] == 2:
+    if data.shape[1] == 2 and len(centers) >= 4:  # Qhull needs ≥ d+2 points
         reporting.plot_voronoi(centers, ctx.run.reports_dir / "voronoi.png",
                                title="cluster Voronoi")
 
     result = {"cluster_labels": cl_labels, "centers": centers}
-    if ood_interim_dir is not None and ood_labels:
-        ood_data, ood_lab = _stack_classes(ood_interim_dir, ood_labels, "ood")
+    if ood_data is not None:
         assignment = assign_to_clusters(model, ood_data)
         result["ood_assignment"] = assignment
         p_all = pca_project(np.vstack([data, ood_data]), 2)
@@ -170,6 +275,13 @@ def run_pso_inverter_analysis(
     cl_labels, centers, model = cluster_latents(data, algorithm, len(classes), seed=seed)
     with open(ctx.run.models_dir / f"{algorithm}.pkl", "wb") as f:
         pickle.dump(model, f)
+    if data.shape[1] == 2 and algorithm == "em":
+        # full-dim GMM component ellipses (:190-192)
+        reporting.plot_ellipsoids(
+            data, model.predict(data), model.means_, model.covariances_,
+            plot_dir / "ellipsoid_Gaussian Mixture.png",
+            dim_red_algorithm="Gaussian Mixture",
+        )
     assignment = assign_to_clusters(model, ood_data)
     counts = {int(c): int((assignment == c).sum()) for c in np.unique(assignment)}
     report = {
@@ -214,19 +326,31 @@ def run_pso_analysis_distance(ctx: StageContext, pso_interim_dir, classes=None,
     """Within-class pairwise and cross-class mutual distance distributions
     (reference pso_analysis_distance.py:169-228)."""
     classes = classes if classes is not None else ctx.data_cfg.iid_classes
+    general = ctx.run.reports_dir / "general"
+    general.mkdir(parents=True, exist_ok=True)
     summary = {}
+    curves: dict = {}
     mats = {c: load_final_particle_positions(pso_interim_dir, c, kind) for c in classes}
     for c in classes:
-        d = pairwise_distances(mats[c])
+        # the reference caps each class at 250 latents (:191-192)
+        d = pairwise_distances(mats[c][:250])
         reporting.plot_distance_histogram(
             d, ctx.run.reports_dir / f"pairwise_class_{c}.png",
             title=f"class {c} pairwise",
         )
+        curves[str(c)] = d
         summary[f"within_{c}"] = {"mean": float(d.mean()), "std": float(d.std())}
     for i, a in enumerate(classes):
         for b in classes[i + 1:]:
-            d = mutual_distance(mats[a], mats[b])
+            d = mutual_distance(mats[a][:250], mats[b][:250])
+            if i == 0 and b == classes[1]:
+                # the reference's single 'mutual' curve pairs the first two
+                # classes (:174-176)
+                curves["mutual"] = d
             summary[f"between_{a}_{b}"] = {"mean": float(d.mean()), "std": float(d.std())}
+    # reference figure pair (:225-226) — filename typo included
+    reporting.plot_sorted_distance_curves(curves, general / "paiwise_mse.png")
+    reporting.plot_distance_kde(curves, general / "latent_kde_distribution.png")
     import json
 
     with open(ctx.run.reports_dir / "distance_summary.json", "w") as f:

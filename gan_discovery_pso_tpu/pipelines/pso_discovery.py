@@ -1,14 +1,17 @@
 """PSO discovery stage — the flagship pipeline.
 
 Per IiD class: load the trained generator + assessor, run the fused swarm
-optimize on device, then emit the reference's artifact set
-(reference src/training/pso_discovery.py:174-254):
+optimize on device, then emit the reference's artifact set in the
+reference's directory layout (reference src/training/pso_discovery.py:174-254):
 
-- particle position/velocity pickles (incl. the `iic` alias) + npz,
-- convergence plot, per-dimension particle plots,
-- 2-D fitness-landscape contours + GIF when dim_space == 2
-  (reference :226-237 — the mesh is one batched device call here),
-- timing.json (replaces timing.pkl, :246-251).
+- `interim/particles_position_iid_class_{label}.pkl` (+ `iic` alias) + npz,
+- `general/{label}/pso_iter.png`, `mean_mse.png` (convergence + diagnostics,
+  :223-224), `fitness_grid.pkl` + `img_grid.pkl` at dim 2 (:228-231),
+- `training_plot/{label}/pso_dim_{d}.png`, `pso_dim_last_iteration.png`
+  (:234-235), `2d_plot_{i}.png` + `2dspace_latent.gif` when dim_space == 2
+  (:226-232 — the mesh is ONE batched device call here, not 10k batch-1
+  forwards), `pso_images_{i}.png` + `iid_img.gif` (:237, util_pso.py:127-133),
+- `general/timing.pkl` / `timing.json` + `overall_history.pkl` (:246-251).
 
 Unlike the reference's sequential host loop over classes, classes can run
 as independent swarms; cross-class parallelism is available through
@@ -17,6 +20,7 @@ parallel.make_multi_swarm_optimize when assessor params are stacked.
 
 from __future__ import annotations
 
+import pickle
 import time
 import jax
 import jax.numpy as jnp
@@ -80,6 +84,7 @@ def run_pso_discovery(
     ctx.notify("pso_discovery_start", classes=list(classes), hp=repr(hp))
     results: dict = {}
     timings: dict = {}
+    overall_history: dict = {}
     # params AND class index are runtime args: ONE compiled optimize serves
     # every class of this sweep and every future model of the same shapes
     from gan_discovery_pso_tpu.pso import make_discovery_runner
@@ -123,19 +128,12 @@ def run_pso_discovery(
             ctx.run.interim_dir, label,
             res.particle_trajectories(), res.velocity_trajectories(), kind="iid",
         )
+        overall_history[f"class_{label}"] = res.history_dict()
         if make_plots:
-            hd = res.history_dict()
-            reporting.plot_convergence(
-                hd["global_best_val"],
-                ctx.run.reports_dir / f"convergence_class_{label}.png",
-                title=f"class {label}",
+            emit_swarm_reports(
+                ctx, res, label, gen_params, gen_state,
+                fitness=fitness, title=f"class {label}",
             )
-            reporting.plot_particle_dimensions(
-                res.particle_trajectories(),
-                ctx.run.reports_dir / f"dims_class_{label}",
-            )
-            if hp.dim_space == 2:
-                _landscape_gif(ctx, fitness, res, label)
         if image_grids:
             render_swarm_grids(
                 ctx, gen_params, gen_state, res, label, writer=tb_writer
@@ -146,6 +144,7 @@ def run_pso_discovery(
         )
 
     ctx.run.write_timing(timings)
+    _write_overall_history(ctx, overall_history)
     if tb_writer is not None:
         tb_writer.close()
     ctx.notify("pso_discovery_done")
@@ -208,7 +207,15 @@ def run_pso_discovery_batched(
     jax.block_until_ready(finals)
     wall = _time.time() - t0
 
+    fitness_dyn = None
+    if make_plots and hp.dim_space == 2:
+        fitness_dyn = make_discovery_fitness_dynamic(
+            gen_params, gen_state, cnn_params, cnn_state, cnn_def,
+            control=control, threshold=threshold,
+        )
+
     results: dict = {}
+    overall_history: dict = {}
     for i, label in enumerate(classes):
         res = SwarmResult(
             jax.tree.map(lambda a, i=i: a[i], finals),
@@ -221,11 +228,15 @@ def run_pso_discovery_batched(
             ctx.run.interim_dir, label,
             res.particle_trajectories(), res.velocity_trajectories(), kind="iid",
         )
+        overall_history[f"class_{label}"] = res.history_dict()
         if make_plots:
-            reporting.plot_convergence(
-                res.history_dict()["global_best_val"],
-                ctx.run.reports_dir / f"convergence_class_{label}.png",
-                title=f"class {label}",
+            fitness = (
+                None if fitness_dyn is None
+                else (lambda pos, ci=c2i.get(label, 1): fitness_dyn(pos, ci))
+            )
+            emit_swarm_reports(
+                ctx, res, label, gen_params, gen_state,
+                fitness=fitness, title=f"class {label}",
             )
         if image_grids:
             render_swarm_grids(
@@ -238,6 +249,7 @@ def run_pso_discovery_batched(
     if tb_writer is not None:
         tb_writer.close()
     ctx.run.write_timing({"training_time_all_classes": wall})
+    _write_overall_history(ctx, overall_history)
     print(f"[pso_discovery/batched] {len(classes)} swarms in {wall:.2f}s wall")
     return results
 
@@ -305,37 +317,135 @@ def render_swarm_grids(
                 reporting.grid_canvas(imgs[i], ncols=ncols, drange=(-1, 1)),
                 step=i + 1,
             )
+    # the reference assembles the grids into a GIF after optimize
+    # (make_gif_from_folder's defaults: pso_images_* → iid_img.gif,
+    # util_report.py:75-79, pso_discovery.py:237)
+    reporting.make_gif(paths, out_dir / "iid_img.gif")
     return paths
 
 
-def _landscape_gif(ctx: StageContext, fitness, res: SwarmResult, label):
-    """Per-iteration 2-D fitness contours + GIF (reference :226-237,
-    util_report.py:82-141) — the mesh fitness is ONE device call."""
-    out_dir = ctx.run.reports_dir / f"landscape_class_{label}"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    traj = res.particle_trajectories()  # [iters+1, N, 2]
+def emit_swarm_reports(
+    ctx: StageContext,
+    res: SwarmResult,
+    sub,
+    gen_params,
+    gen_state,
+    fitness=None,
+    title: str = "",
+    resolution: int = 100,
+    span: float = 5.0,
+    save_img_grid: bool = True,
+):
+    """The reference's per-swarm report set, in the reference layout
+    (reference src/training/pso_discovery.py:222-237,
+    src/training/pso_inverter.py:326-340):
+
+    - `general/{sub}/pso_iter.png` (plot_pso_convergence, util_report.py:23-29)
+    - `general/{sub}/mean_mse.png` (the mean_mse branch of plot_training)
+    - `training_plot/{sub}/pso_dim_{d}.png` + `pso_dim_last_iteration.png`
+      (plot_feature / plot_features_last_iteration, util_report.py:36-73)
+    - at dim_space == 2 with a fitness closure: `training_plot/{sub}/
+      2d_plot_{i}.png` frames + `2dspace_latent.gif`, and
+      `general/{sub}/fitness_grid.pkl` + `img_grid.pkl` (plot2d,
+      util_report.py:82-141 — mesh fitness is ONE batched device call).
+
+    Plots use the positions fitness was EVALUATED at (trajectory rows
+    :-1) — exactly the rows the reference's Particle.history records
+    (appended in update_personal_best, pre-move; util_pso.py:114-133).
+    """
+    general = ctx.run.reports_dir / "general" / str(sub)
+    plots = ctx.run.reports_dir / "training_plot" / str(sub)
+    general.mkdir(parents=True, exist_ok=True)
+    plots.mkdir(parents=True, exist_ok=True)
+
+    hd = res.history_dict()
+    reporting.plot_convergence(
+        hd["global_best_val"], general / "pso_iter.png",
+        title=title or f"swarm {sub}",
+    )
+    reporting.plot_mean_mse(hd["mean_mse"], general / "mean_mse.png")
+
+    eval_rows = res.particle_trajectories()[:-1]  # [n_act, N, d]
+    reporting.plot_particle_dimensions(eval_rows, plots, prefix="pso_dim")
+    reporting.plot_particles_last_iteration(
+        eval_rows[-1], plots / "pso_dim_last_iteration.png"
+    )
+    if res.hp.dim_space == 2 and fitness is not None:
+        _emit_landscape(
+            res, fitness, gen_params, gen_state, general, plots,
+            resolution=resolution, span=span, save_img_grid=save_img_grid,
+        )
+    return general, plots
+
+
+def _emit_landscape(
+    res: SwarmResult,
+    fitness,
+    gen_params,
+    gen_state,
+    general,
+    plots,
+    resolution: int = 100,
+    span: float = 5.0,
+    save_img_grid: bool = True,
+):
+    """2-D fitness landscape artifacts (reference plot2d,
+    util_report.py:82-141 + pso_discovery.py:226-232): the contour mesh
+    spans g_best ± span (reference: ±5 at step 0.1 → 100 points/axis),
+    its fitness is evaluated in ONE device call (the reference runs 10k
+    batch-1 G+CNN forwards), every recorded iteration gets a
+    `2d_plot_{i}.png` frame, and the grid fitness / generated images are
+    pickled (`fitness_grid.pkl`, `img_grid.pkl`)."""
     center = np.asarray(res.g_best_pos)
+    xs = np.linspace(center[0] - span, center[0] + span, resolution)
+    ys = np.linspace(center[1] - span, center[1] + span, resolution)
+    gx, gy = np.meshgrid(xs, ys)
+    mesh = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+    z_grid = np.asarray(fitness(jnp.asarray(mesh))).reshape(resolution, resolution)
+    with open(general / "fitness_grid.pkl", "wb") as f:
+        pickle.dump(z_grid, f)
+    if save_img_grid:
+        # the generated image at every mesh point, rescaled per-sample to
+        # [0,1] like Discovery.particles_to_img (util_discovery.py:33-50);
+        # float16 halves the pickle without visible loss
+        from gan_discovery_pso_tpu.ops import rescale01_per_sample
 
-    # the contour mesh is identical for every frame (fixed center/span) —
-    # evaluate it ONCE on device and serve every frame from the cache
-    # instead of paying a dispatch per frame
-    mesh_cache: dict = {}
+        z = jnp.asarray(mesh.reshape(len(mesh), 2, 1, 1))
+        imgs = _jitted_generator_forward()(gen_params, gen_state, z)
+        imgs01 = np.asarray(rescale01_per_sample(imgs), np.float16)
+        with open(general / "img_grid.pkl", "wb") as f:
+            pickle.dump(imgs01, f)
 
-    def cached_fitness(mesh):
-        key = mesh.shape
-        if key not in mesh_cache:
-            mesh_cache[key] = np.asarray(fitness(jax.numpy.asarray(mesh)))
-        return mesh_cache[key]
-
+    # every frame reuses the one evaluated grid
+    serve = lambda _mesh: z_grid.ravel()  # noqa: E731
+    eval_rows = res.particle_trajectories()[:-1]
     frames = []
-    for it in range(traj.shape[0]):
+    for it in range(eval_rows.shape[0]):
         frames.append(
             reporting.plot_fitness_landscape_2d(
-                cached_fitness,
+                serve,
                 center=center,
-                out_path=out_dir / f"iter_{it:03d}.png",
-                positions=traj[it],
-                resolution=60,
+                out_path=plots / f"2d_plot_{it}.png",
+                positions=eval_rows[it],
+                span=span,
+                resolution=resolution,
             )
         )
-    reporting.make_gif(frames, ctx.run.reports_dir / f"landscape_class_{label}.gif")
+    reporting.make_gif(frames, plots / "2dspace_latent.gif")
+
+
+def _write_overall_history(ctx: StageContext, overall_history: dict):
+    """`general/overall_history.pkl` (reference pso_discovery.py:250-251)
+    + a readable JSON twin."""
+    import json
+
+    general = ctx.run.reports_dir / "general"
+    general.mkdir(parents=True, exist_ok=True)
+    with open(general / "overall_history.pkl", "wb") as f:
+        pickle.dump(overall_history, f)
+    with open(general / "overall_history.json", "w") as f:
+        json.dump(
+            {k: {kk: [float(x) for x in vv] for kk, vv in v.items()}
+             for k, v in overall_history.items()},
+            f, indent=2,
+        )

@@ -377,6 +377,13 @@ def run_dcgan(
             np.asarray(res.p_yx), list(np.asarray(battery.classes)),
             ctx.run.reports_dir / f"class_polarization_{ep}.png",
         )
+        # posterior energy/variance hist + kde pairs
+        # (reference util_dcgan.py:268 → util_gan_evaluation.py:167-192)
+        reporting.plot_posterior_histograms(
+            {"energy": np.asarray(res.energy),
+             "variance": np.asarray(res.variance)},
+            ctx.run.reports_dir, ep,
+        )
 
         # best model by IS, saved ON IMPROVEMENT (reference :279-283) so a
         # crash never loses the best-so-far weights and a resumed run that
@@ -851,35 +858,47 @@ def run_pso_inverter(
     from gan_discovery_pso_tpu.pso import make_inverter_runner
 
     run = make_inverter_runner(bdef, hp_n, control=control)
+    import time as _time
+
+    _t0 = _time.time()
     final, hist, init = run(
         ctx.keys("pso"), gen_params, gen_state,
         fine_state.params, fine_state.model_state,
         jnp.asarray(1, jnp.int32), slices, init_positions,
     )
     jax.block_until_ready(final)
+    res_wall = _time.time() - _t0
     res = SwarmResult(final, hist, init, hp_n)
     save_particle_histories(
         ctx.run.interim_dir, ood_patient,
         res.particle_trajectories(), res.velocity_trajectories(), kind="ood",
     )
-    hd = res.history_dict()
-    reporting.plot_convergence(
-        hd["global_best_val"],
-        ctx.run.reports_dir / f"convergence_patient_{ood_patient}.png",
+    # swarm diagnostics + per-iteration artifacts, same contract/layout as
+    # the discovery stage (reference pso_inverter.py:326-346: pso_iter.png,
+    # mean_mse.png, pso_dim plots, 2d_plot frames + pkls, image grids/GIF) —
+    # nested one level under the patient id so patient sweeps don't collide.
+    # The reference's plot2d uses the pure ASSESSOR fitness, not the hybrid
+    # objective (pso_inverter.py:330 passes discovery.fitness)
+    from gan_discovery_pso_tpu.pipelines.pso_discovery import (
+        emit_swarm_reports,
+        render_swarm_grids,
     )
-    # swarm diagnostics + per-iteration artifacts, same contract as the
-    # discovery stage (reference pso_inverter.py:326-340: history_pso plot,
-    # per-dimension features, image grids/GIF)
-    reporting.plot_training_curves(
-        {"mean_mse": hd["mean_mse"]},
-        ctx.run.reports_dir / "mean_mse.png", title="mean pairwise distance")
-    reporting.plot_particle_dimensions(
-        res.particle_trajectories(),
-        ctx.run.reports_dir / f"dims_patient_{ood_patient}")
-    from gan_discovery_pso_tpu.pipelines.pso_discovery import render_swarm_grids
+    from gan_discovery_pso_tpu.pso import make_discovery_fitness_dynamic
 
+    fitness = None
+    if hp_n.dim_space == 2:
+        fitness_dyn = make_discovery_fitness_dynamic(
+            gen_params, gen_state, fine_state.params, fine_state.model_state,
+            bdef, control=control,
+        )
+        fitness = lambda pos: fitness_dyn(pos, jnp.asarray(1, jnp.int32))  # noqa: E731
+    emit_swarm_reports(ctx, res, ood_patient, gen_params, gen_state,
+                       fitness=fitness, title=f"ood patient {ood_patient}")
     render_swarm_grids(ctx, gen_params, gen_state, res, ood_patient,
                        tag=f"patient_{ood_patient}")
+    ctx.run.write_timing({
+        f"pso_inverter_time_ood_patient_{ood_patient}": res_wall,
+    })
     return res, fine_state
 
 
@@ -902,6 +921,9 @@ def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params
         {k: list(v) for k, v in hist.items()},
         ctx.run.reports_dir / "invert_loss.png",
     )
+    # the reference's combined component figure (util_report_inverter.py:76-84)
+    reporting.plot_regularize_inverter_losses(
+        hist, ctx.run.reports_dir / "regularize_inverter_losses.png")
     if z_hist is not None and num_vis > 0:
         from gan_discovery_pso_tpu.models.dcgan import generator_apply
 
@@ -936,6 +958,8 @@ def run_regularize_inverter_statistics(
         {k: list(v) for k, v in hist.items()},
         ctx.run.reports_dir / "invert_bn_loss.png",
     )
+    reporting.plot_regularize_inverter_losses(
+        hist, ctx.run.reports_dir / "regularize_inverter_losses.png")
     np.savez_compressed(
         ctx.run.interim_dir / "inverted_bn_z.npz", z=np.asarray(z), weights=np.asarray(w)
     )

@@ -240,3 +240,86 @@ def test_plot_latent_space_files(tmp_path):
     p2 = reporting.plot_latent_space(emb, labs, tmp_path, dataset="Validation")
     assert p1.name == "latent_space_Training.png" and p1.exists()
     assert p2.name == "latent_space_Validation.png" and p2.exists()
+
+
+def test_new_reporting_helpers(tmp_path):
+    """Round-2 reference-parity plot helpers: mean_mse, last-iteration
+    particle scatter, pca variance, distance curves/kde, posterior
+    hist+kde pairs, regularize-inverter losses, GMM ellipsoids."""
+    rng = np.random.RandomState(11)
+    assert reporting.plot_mean_mse(rng.rand(10), tmp_path / "mm.png").exists()
+    assert reporting.plot_particles_last_iteration(
+        rng.randn(8, 4), tmp_path / "last.png").exists()
+    assert reporting.plot_pca_variance([3.0, 2.0, 1.0],
+                                       tmp_path / "var.png").exists()
+    assert reporting.plot_sorted_distance_curves(
+        {"0": rng.rand(50), "mutual": rng.rand(30)},
+        tmp_path / "paiwise_mse.png").exists()
+    assert reporting.plot_distance_kde(
+        {"0": rng.rand(50)}, tmp_path / "kde.png").exists()
+    paths = reporting.plot_posterior_histograms(
+        {"energy": rng.rand(40) + 0.2, "variance": rng.rand(40) * 0.05},
+        tmp_path, epoch=3)
+    names = {p.name for p in paths}
+    assert names == {"hist_energy_3.png", "kde_energy_3.png",
+                     "hist_variance_3.png", "kde_variance_3.png"}
+    assert reporting.plot_regularize_inverter_losses(
+        {"loss_pix": rng.rand(5), "loss_reg": rng.rand(5),
+         "loss": rng.rand(5)}, tmp_path / "ri.png").exists()
+    # degenerate inputs must not crash (constant values -> no kde line)
+    reporting.plot_distance_kde({"c": np.ones(5)}, tmp_path / "kde2.png")
+    reporting.plot_posterior_histograms({"energy": np.ones(5)}, tmp_path, 0)
+    # GMM ellipsoids
+    from gan_discovery_pso_tpu.analysis import cluster_latents
+
+    pts = np.vstack([rng.randn(30, 2) + 3, rng.randn(30, 2) - 3])
+    labs, _c, gmm = cluster_latents(pts, "em", 2, seed=0)
+    assert reporting.plot_ellipsoids(
+        pts, labs, gmm.means_, gmm.covariances_, tmp_path / "ell.png",
+        dim_red_algorithm="pca").exists()
+
+
+def test_clustering_stage_em_with_ood_overlay(tmp_path):
+    """run_pso_analysis_clustering emits the reference artifact set
+    (pso_analysis_clustering.py:174-228): {algorithm}.pkl, full-dim
+    latent_space(.png) + GMM ellipsoid at dim 2, per dim-reduction
+    latent_space_{alg}.png (+ ellipsoid_{alg}.png for em) and per-OoD-label
+    overlays."""
+    from gan_discovery_pso_tpu.core import load_config
+    from gan_discovery_pso_tpu.pipelines import (
+        StageContext,
+        run_pso_analysis_clustering,
+    )
+    from gan_discovery_pso_tpu.pso.io import save_particle_histories
+
+    rng = np.random.RandomState(7)
+    iid_dir = tmp_path / "iid"
+    ood_dir = tmp_path / "ood"
+    for label, off in ((0, -3.0), (2, 3.0)):
+        traj = rng.randn(3, 12, 2).astype(np.float32) + off
+        save_particle_histories(iid_dir, label, traj, np.zeros_like(traj), "iid")
+    ood_traj = rng.randn(3, 6, 2).astype(np.float32) + 3.0
+    save_particle_histories(ood_dir, 1, ood_traj, np.zeros_like(ood_traj), "ood")
+
+    cfg = load_config("configs/dcgan_mnist.yaml", overrides={
+        "data.data_dir": str(tmp_path / "raw"),
+        "data.interim_dir": str(tmp_path / "interim"),
+        "data.model_dir": str(tmp_path / "models"),
+        "data.reports_dir": str(tmp_path / "reports"),
+    })
+    ctx = StageContext.create(cfg, "pso_analysis_clustering")
+    rc = run_pso_analysis_clustering(
+        ctx, iid_dir, ood_interim_dir=ood_dir, classes=(0, 2),
+        ood_labels=(1,), algorithm="em",
+    )
+    plots = ctx.run.reports_dir / "training_plot"
+    assert (ctx.run.models_dir / "em.pkl").exists()
+    assert (plots / "latent_space.png").exists()
+    assert (plots / "ellipsoid_Gaussian Mixture.png").exists()
+    for alg in ("pca", "umap"):
+        assert (plots / f"latent_space_{alg}.png").exists()
+        assert (plots / f"ellipsoid_{alg}.png").exists()
+        assert (plots / f"latent_space_{alg}_ood_1.png").exists()
+    assert (plots / "latent_space_ood_1.png").exists()
+    assert "ood_assignment" in rc and len(rc["ood_assignment"]) == 6
+    assert (ctx.run.reports_dir / "ood_cluster_assignment.json").exists()

@@ -101,7 +101,7 @@ def artifacts(roots):
     results = run_pso_discovery(
         ctx5, gan_state.gen_params, gan_state.gen_state,
         cnn_state.params, cnn_state.model_state, rdef,
-        classes=(0, 2), make_plots=False,
+        classes=(0, 2), make_plots=True,
     )
     out["pso"] = (ctx5, results)
 
@@ -186,7 +186,19 @@ def test_pso_discovery_stage_artifacts(artifacts):
                 ctx.run.reports_dir / "training_plot" / str(label)
                 / f"pso_images_{it}.png"
             ).exists()
+        # reference report layout (pso_discovery.py:222-237):
+        # general/{label}/ convergence + diagnostics, training_plot/{label}/
+        # per-dimension plots + grid GIF
+        general = ctx.run.reports_dir / "general" / str(label)
+        plots = ctx.run.reports_dir / "training_plot" / str(label)
+        assert (general / "pso_iter.png").exists()
+        assert (general / "mean_mse.png").exists()
+        assert (plots / "pso_dim_0.png").exists()
+        assert (plots / "pso_dim_last_iteration.png").exists()
+        assert (plots / "iid_img.gif").exists()
     assert (ctx.run.reports_dir / "timing.json").exists()
+    assert (ctx.run.reports_dir / "general" / "timing.pkl").exists()
+    assert (ctx.run.reports_dir / "general" / "overall_history.pkl").exists()
 
 
 def test_pso_discovery_2d_landscape_gif_single_mesh_eval(roots, artifacts, monkeypatch):
@@ -223,10 +235,21 @@ def test_pso_discovery_2d_landscape_gif_single_mesh_eval(roots, artifacts, monke
         cnn_state.params, cnn_state.model_state, rdef,
         classes=(0,), make_plots=True, image_grids=False,
     )
-    gif = ctx.run.reports_dir / "landscape_class_0.gif"
-    assert gif.exists()
-    frames = sorted((ctx.run.reports_dir / "landscape_class_0").glob("iter_*.png"))
+    plots = ctx.run.reports_dir / "training_plot" / "0"
+    general = ctx.run.reports_dir / "general" / "0"
+    assert (plots / "2dspace_latent.gif").exists()
+    frames = sorted(plots.glob("2d_plot_*.png"))
     assert len(frames) >= 2  # init + ≥1 iteration
+    # grid pickles (reference pso_discovery.py:228-231)
+    import pickle
+
+    with open(general / "fitness_grid.pkl", "rb") as f:
+        z_grid = pickle.load(f)
+    assert z_grid.shape == (100, 100) and np.isfinite(z_grid).all()
+    with open(general / "img_grid.pkl", "rb") as f:
+        img_grid = pickle.load(f)
+    assert img_grid.shape[0] == 100 * 100
+    assert float(img_grid.max()) <= 1.0 and float(img_grid.min()) >= 0.0
     # one mesh eval total, despite len(frames) frames
     assert calls["n"] == 1
 
@@ -263,12 +286,16 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     assert (ctxP.run.interim_dir / "particles_position_ood_class_1.pkl").exists()
     assert (ctxP.run.models_dir / "model_1.msgpack").exists()
     assert np.isfinite(float(res.g_best_val))
-    # swarm diagnostics + per-iteration grids + fine-tune figures
-    # (reference pso_inverter.py:263,326-340)
-    assert (ctxP.run.reports_dir / "mean_mse.png").exists()
+    # swarm diagnostics + per-iteration grids + fine-tune figures, in the
+    # reference layout nested under the patient id
+    # (reference pso_inverter.py:263,326-346)
+    assert (ctxP.run.reports_dir / "general" / "1" / "pso_iter.png").exists()
+    assert (ctxP.run.reports_dir / "general" / "1" / "mean_mse.png").exists()
     assert (ctxP.run.reports_dir / "train_val_loss_1.png").exists()
     assert (ctxP.run.reports_dir / "training_plot" / "1" / "pso_images_1.png").exists()
-    assert list((ctxP.run.reports_dir / "dims_patient_1").glob("*.png"))
+    assert (ctxP.run.reports_dir / "training_plot" / "1" / "iid_img.gif").exists()
+    assert list((ctxP.run.reports_dir / "training_plot" / "1").glob("pso_dim_*.png"))
+    assert (ctxP.run.reports_dir / "timing.json").exists()
 
     # gradient inversion
     ctxR = _ctx(roots, "regularize_inverter")
@@ -341,20 +368,37 @@ def test_vqvae_and_analyses(roots, artifacts):
 
     # analyses over the discovery artifacts
     ctxA = _ctx(roots, "pso_analysis")
-    r = run_pso_analysis(ctxA, ctx5.run.interim_dir, classes=(0, 2))
+    r = run_pso_analysis(ctxA, ctx5.run.interim_dir, classes=(0, 2),
+                         iter_step=4)
     assert (ctxA.run.reports_dir / "pca_iid.png").exists()
     assert r["pca"].shape[1] == 2
+    # reference per-iteration projection artifacts (pso_analysis.py:92-124)
+    plotsA = ctxA.run.reports_dir / "training_plot"
+    assert (plotsA / "pca_space_0.png").exists()
+    assert (plotsA / "pca_variance_plot_0.png").exists()
+    assert (plotsA / "umap_space_0.png").exists()
+    assert (plotsA / "pca_space.gif").exists()
 
     ctxC = _ctx(roots, "pso_analysis_clustering")
     rc = run_pso_analysis_clustering(ctxC, ctx5.run.interim_dir, classes=(0, 2),
                                      algorithm="kmeans")
     assert rc["centers"].shape == (2, 8)
     assert (ctxC.run.reports_dir / "clusters.png").exists()
+    # reference artifacts (pso_analysis_clustering.py:174-228)
+    assert (ctxC.run.models_dir / "kmeans.pkl").exists()
+    plotsC = ctxC.run.reports_dir / "training_plot"
+    assert (plotsC / "latent_space_pca.png").exists()
+    assert (plotsC / "latent_space_umap.png").exists()
 
     ctxD = _ctx(roots, "pso_analysis_distance")
     rd = run_pso_analysis_distance(ctxD, ctx5.run.interim_dir, classes=(0, 2))
     assert "within_0" in rd and "between_0_2" in rd
     assert (ctxD.run.reports_dir / "distance_summary.json").exists()
+    # reference figure pair incl. the filename typo
+    # (pso_analysis_distance.py:225-226)
+    assert (ctxD.run.reports_dir / "general" / "paiwise_mse.png").exists()
+    assert (ctxD.run.reports_dir / "general"
+            / "latent_kde_distribution.png").exists()
 
 
 def test_vqvae_diagnoses_dim_mismatch(roots, artifacts):
@@ -401,7 +445,7 @@ def test_pso_discovery_sharded_full_artifact_contract(roots, artifacts):
     assert (ctx.run.interim_dir / "particles_position_iid_class_0.pkl").exists()
     assert (ctx.run.interim_dir / "particles_position_iic_class_0.pkl").exists()
     assert (ctx.run.interim_dir / "particles_iid_class_0.npz").exists()
-    assert (ctx.run.reports_dir / "convergence_class_0.png").exists()
+    assert (ctx.run.reports_dir / "general" / "0" / "pso_iter.png").exists()
     for it in range(1, 5):
         assert (ctx.run.reports_dir / "training_plot" / "0"
                 / f"pso_images_{it}.png").exists()
