@@ -152,6 +152,65 @@ def plot_gan_training(history: dict, out_dir):
     return paths
 
 
+def plot_vqvae_losses(history: dict, out_dir):
+    """The VQ-VAE per-component training figures (reference
+    utils_vq_vae/util_report.py:13-36, rewritten every epoch at
+    vq_vae.py:233): train-vs-val_ood reconstruction loss →
+    `reconstruction_loss.png`, vq loss → `vq_loss.png`. A figure is only
+    emitted when both of its series exist, like the reference's column
+    checks."""
+    out_dir = Path(out_dir)
+    paths = []
+    for pair, fname, title in (
+        (("train_loss_recons", "val_ood_loss_recons"),
+         "reconstruction_loss.png", "Reconstruction Loss"),
+        (("train_loss_vq", "val_ood_loss_vq"), "vq_loss.png", "vq loss"),
+    ):
+        if not all(history.get(k) for k in pair):
+            continue
+        fig, ax = plt.subplots(figsize=(8, 6))
+        for k, color in zip(pair, ("r", "b")):
+            ax.plot(np.asarray(history[k], np.float64), label=k, color=color)
+        ax.set_title(title)
+        ax.set_xlabel("Epochs")
+        ax.set_ylabel("Losses")
+        ax.legend()
+        fig.savefig(out_dir / fname, dpi=200, format="png")
+        plt.close(fig)
+        paths.append(out_dir / fname)
+    return paths
+
+
+def save_grayscale(out_path, image):
+    """Single grayscale image writer ≡ the reference's cv2-based
+    `save_image` (util_report_inverter.py:87-98): a 2-D uint8 [0,255]
+    array → PNG (PIL here; cv2 is not installed)."""
+    from PIL import Image
+
+    arr = np.asarray(image)
+    assert arr.ndim == 2, f"expected a 2-D grayscale image, got {arr.shape}"
+    Image.fromarray(arr.astype(np.uint8), mode="L").save(out_path)
+    return Path(out_path)
+
+
+def denoise_panel(originals, noisy, reconstructions, out_path, n_img: int = 10):
+    """Original / noisy / denoised 3 x n panel ≡ `plot_den_ae_outputs`
+    (reference evaluation/util_cae.py:284-310, written per eval epoch as
+    `img_loss.png`)."""
+    rows = [np.asarray(r)[:n_img] for r in (originals, noisy, reconstructions)]
+    n = len(rows[0])
+    fig = plt.figure(figsize=(9, 3))
+    for r, row in enumerate(rows):
+        for i in range(n):
+            ax = fig.add_subplot(3, n, r * n + i + 1)
+            ax.imshow(row[i].squeeze(), cmap="gist_gray")
+            ax.get_xaxis().set_visible(False)
+            ax.get_yaxis().set_visible(False)
+    fig.savefig(out_path, dpi=200, format="png")
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_regularize_inverter_losses(history: dict, out_path):
     """Gradient-inversion loss components (reference
     util_report_inverter.py:76-84): loss_pix / loss_reg / loss on one
@@ -727,6 +786,64 @@ class CvEvaluator:
             else:
                 cols[k] = vals + [None, None]
         return write_xlsx(path, cols)
+
+    def plot_mean_roc(self, out_path, group: str = "slices"):
+        """The reference's cross-fold mean-ROC errorbar figure
+        (`mean_plot_roc`, util_report.py:440-466): per-fold ROC curves
+        interpolated onto a common FPR grid, mean TPR with std error bars
+        (y from TPR spread, x from FPR spread), chance diagonal, legend
+        with mean AUC ± std → `mean_roc_{group}.png`."""
+        from sklearn.metrics import auc, roc_curve
+
+        x = np.linspace(0, 1, 100)
+        tprs, fprs, aucs = [], [], []
+        for y, s in zip(self.fold_labels, self.fold_scores):
+            if len(np.unique(np.asarray(y))) < 2:
+                continue
+            fpr, tpr, _ = roc_curve(y, s)
+            t = np.interp(x, fpr, tpr)
+            f = np.interp(x, tpr, fpr)
+            t[0] = 0.0
+            f[0] = 0.0
+            tprs.append(t)
+            fprs.append(f)
+            aucs.append(auc(fpr, tpr))
+        if not tprs:
+            return None
+        mean_tpr = np.mean(tprs, axis=0)
+        mean_tpr[-1] = 1.0
+        fig, ax = plt.subplots()
+        ax.plot([0, 1], [0, 1], linestyle="--", lw=2, color="gray", alpha=0.8)
+        ax.errorbar(
+            x, mean_tpr, yerr=np.std(tprs, axis=0), marker="s", capsize=5,
+            capthick=2, elinewidth=2, ecolor="gray", fmt="-o", color="b",
+            label=r"ROC media (AUC = %0.2f $\pm$ %0.2f)"
+                  % (auc(x, mean_tpr), np.std(aucs)),
+            lw=2, alpha=0.8,
+        )
+        ax.errorbar(x, mean_tpr, xerr=np.std(fprs, axis=0), marker="s",
+                    elinewidth=0.8, ecolor="gray", fmt="-o", color="b",
+                    lw=2, alpha=0.8)
+        ax.set_xlim([-0.05, 1.05])
+        ax.set_ylim([-0.05, 1.05])
+        ax.set_title(f"{group} mean roc curve", fontsize=14)
+        ax.set_xlabel("FP Rate", fontsize=14)
+        ax.set_ylabel("TP Rate", fontsize=14)
+        ax.legend(loc="lower right", fontsize=12)
+        fig.savefig(out_path, dpi=200, format="png")
+        plt.close(fig)
+        return Path(out_path)
+
+    def save_overall_scores(self, out_path):
+        """`overall_scores.pkl` (reference on_experiments_end,
+        util_report.py:409-411): a [slices_scores, patients_scores] pair of
+        per-fold score-dict lists. This evaluator tracks one group; the
+        second slot mirrors the reference's shape with an empty list."""
+        import pickle
+
+        with open(out_path, "wb") as f:
+            pickle.dump([self.fold_metrics(), []], f)
+        return Path(out_path)
 
     def plot_roc(self, out_path, title="ROC (CV)"):
         from sklearn.metrics import roc_curve

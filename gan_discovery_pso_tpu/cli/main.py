@@ -27,6 +27,8 @@ import argparse
 import sys
 from pathlib import Path
 
+import numpy as np
+
 
 def _parse_set(values):
     """--set a.b.c=value (int/float/bool/list auto-coerced via yaml)."""
@@ -378,18 +380,20 @@ def dispatch(args):
         elif stage == "regularize-inverter":
             gp, gs = _load_gan(args)
             enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
-            imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
-                               drange=(-1, 1)).images[:8]
-            P.run_regularize_inverter(ctx, gp, gs, enc, imgs,
-                                      iterations=50 if args.tiny else 500)
+            ds = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
+                             drange=(-1, 1))
+            P.run_regularize_inverter(ctx, gp, gs, enc, ds.images[:8],
+                                      iterations=50 if args.tiny else 500,
+                                      labels=np.asarray(ds.labels)[:8])
         elif stage == "regularize-inverter-statistics":
             gp, gs = _load_gan(args)
             enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
-            imgs = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
-                               drange=(-1, 1)).images[:8]
+            ds = ctx.dataset("test", classes=ctx.data_cfg.ood_classes,
+                             drange=(-1, 1))
             P.run_regularize_inverter_statistics(
-                ctx, gp, gs, enc, imgs, pso_interim_dir=args.path_pso,
-                iterations=50 if args.tiny else 500)
+                ctx, gp, gs, enc, ds.images[:8], pso_interim_dir=args.path_pso,
+                iterations=50 if args.tiny else 500,
+                labels=np.asarray(ds.labels)[:8])
         elif stage == "vqvae":
             gp, gs = _load_gan(args)
             P.run_vqvae(ctx, gp, gs, pso_interim_dir=args.path_pso,

@@ -109,17 +109,29 @@ class RunDir:
     #    src/training/pso_discovery.py:242-251) -----------------------------
 
     def write_timing(self, timings: dict) -> None:
-        payload = {"overall_time_sec": time.time() - self._t0, **timings}
+        payload = {"overall_time": time.time() - self._t0, **timings}
         with open(self.reports_dir / "timing.json", "w") as f:
             json.dump(payload, f, indent=2)
-        # literal-parity twin of the reference's pickle artifact
-        # (general/timing.pkl, src/training/pso_discovery.py:248-249)
+        # literal-parity twin of the reference's pickle artifact — including
+        # its 'overall_time' key (general/timing.pkl,
+        # src/training/pso_discovery.py:246-249)
         import pickle
 
         general = self.reports_dir / "general"
         general.mkdir(parents=True, exist_ok=True)
         with open(general / "timing.pkl", "wb") as f:
             pickle.dump(payload, f)
+
+    def write_overall_history(self, history: dict) -> None:
+        """`general/overall_history.pkl` — the history pickle every
+        reference entry script writes at exit (e.g. cae.py:228-231,
+        dcgan.py:211-214, cnn.py:200-205)."""
+        import pickle
+
+        general = self.reports_dir / "general"
+        general.mkdir(parents=True, exist_ok=True)
+        with open(general / "overall_history.pkl", "wb") as f:
+            pickle.dump(history, f)
 
     def __repr__(self):
         return f"RunDir({self.name}, reports={self.reports_dir})"

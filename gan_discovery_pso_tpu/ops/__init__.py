@@ -9,6 +9,7 @@ from gan_discovery_pso_tpu.ops.rescale import (
     rescale01,
     rescale01_per_sample,
     adjust_dynamic_range,
+    postprocess_uint8,
 )
 from gan_discovery_pso_tpu.ops.sqrtm import sqrtm_psd, trace_sqrt_product
 from gan_discovery_pso_tpu.ops.knn import knn_predict_proba
@@ -24,6 +25,7 @@ __all__ = [
     "rescale01",
     "rescale01_per_sample",
     "adjust_dynamic_range",
+    "postprocess_uint8",
     "sqrtm_psd",
     "trace_sqrt_product",
     "knn_predict_proba",

@@ -102,6 +102,7 @@ def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None,
     u2, method = umap_project(data, 2)
     reporting.plot_scatter_2d(u2, labels, ctx.run.reports_dir / f"umap_{kind}.png",
                               title=f"{method} of {kind} particles")
+    ctx.run.write_timing({})  # (reference pso_analysis.py:127-132)
     return {"pca": p2, "umap": u2, "labels": labels}
 
 
@@ -355,6 +356,8 @@ def run_pso_analysis_distance(ctx: StageContext, pso_interim_dir, classes=None,
 
     with open(ctx.run.reports_dir / "distance_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
+    ctx.run.write_timing({})  # (reference pso_analysis_distance.py:229-234)
+    ctx.run.write_overall_history(summary)
     return summary
 
 

@@ -441,8 +441,7 @@ def _write_overall_history(ctx: StageContext, overall_history: dict):
 
     general = ctx.run.reports_dir / "general"
     general.mkdir(parents=True, exist_ok=True)
-    with open(general / "overall_history.pkl", "wb") as f:
-        pickle.dump(overall_history, f)
+    ctx.run.write_overall_history(overall_history)
     with open(general / "overall_history.json", "w") as f:
         json.dump(
             {k: {kk: [float(x) for x in vv] for kk, vv in v.items()}

@@ -115,6 +115,32 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
         reporting.plot_latent_space(emb_val, np.asarray(val.labels),
                                     ctx.run.reports_dir, dataset="Validation")
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cae_training.png")
+    # img_loss.png recon panel (reference util_cae.py:221/278, rewritten
+    # every eval epoch — the final-state panel is the surviving artifact):
+    # denoise task → original/noisy/denoised 3-row, reconstruct → 2-row
+    from gan_discovery_pso_tpu.models.cae import (
+        add_noise,
+        cae_decoder_apply,
+        cae_encoder_apply,
+    )
+
+    def _cae_rec(x):
+        z, _ = cae_encoder_apply(state.enc_params, state.enc_state, x, train=False)
+        rec, _ = cae_decoder_apply(state.dec_params, state.dec_state, z, train=False)
+        return np.asarray(rec)
+
+    vis = val.images[:10]
+    if task == "denoising":
+        noisy = add_noise(ctx.keys("cae_img_loss"), vis, noise_factor)
+        reporting.denoise_panel(vis, np.asarray(noisy), _cae_rec(noisy),
+                                ctx.run.reports_dir / "img_loss.png")
+    else:
+        reporting.recon_panel(vis, _cae_rec(vis),
+                              ctx.run.reports_dir / "img_loss.png")
+    # timing + history pickles every reference entry writes at exit
+    # (cae.py:226-231)
+    ctx.run.write_timing({})
+    ctx.run.write_overall_history(history)
     return state, history
 
 
@@ -402,6 +428,8 @@ def run_dcgan(
         ctx.ckpt.save_best("g", best_epoch, best_state)
 
     mw.close()
+    ctx.run.write_timing({})  # (reference dcgan.py:209-214)
+    ctx.run.write_overall_history(history)
     return best_state, history
 
 
@@ -462,6 +490,7 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
     tr, va = train_val_split(ds, 0.2)
 
     models = {}
+    histories = {}
     for label in classes:
         rdef, init_fn, apply_fn = _assessor(ctx, 2)
         state, history, best_epoch = train_cnn(
@@ -474,6 +503,9 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
         reporting.plot_training_curves(history, ctx.run.reports_dir / f"cnn_{label}.png")
         reporting.plot_cnn_training(history, ctx.run.reports_dir, label=label)
         models[label] = state
+        histories[label] = history
+    ctx.run.write_timing({})  # (reference cnn.py:198-205)
+    ctx.run.write_overall_history(histories)
     return models
 
 
@@ -499,6 +531,8 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
     ctx.ckpt.save_state_dict("model", {"params": state.params, "state": state.model_state})
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cnn_multipatient.png")
     reporting.plot_cnn_training(history, ctx.run.reports_dir)
+    ctx.run.write_timing({})  # (reference cnn_multipatient.py:186-193)
+    ctx.run.write_overall_history(history)
     return state, rdef
 
 
@@ -538,12 +572,36 @@ def load_cnn(model_dir: str | Path, rdef: ResNetDef, label=None):
 # ---------------------------------------------------------------------------
 
 
+def _inverter_epoch_viz(ctx, gen_params, gen_state, enc_fwd, phase_sets,
+                        epoch, fixed_noise, n_img: int = 10):
+    """The reference's per-epoch inverter visuals (util_inverter.py:259,280
+    / :455,477): `img_loss_{phase}_{epoch}.png` — the first n_img images of
+    each phase next to their E→G reconstructions (show_cae_images,
+    util_report_inverter.py:138-159) — and `synthetic_images_{epoch}.png`,
+    the G samples of one FIXED noise batch (show_gan_images, :100-136)."""
+    from gan_discovery_pso_tpu.models.dcgan import generator_apply
+
+    for phase, ds in phase_sets.items():
+        if len(ds.images) == 0:
+            continue
+        x = ds.images[:n_img]
+        rec, _ = generator_apply(gen_params, gen_state, enc_fwd(x), train=False)
+        reporting.recon_panel(
+            np.asarray(x), np.asarray(rec),
+            ctx.run.reports_dir / f"img_loss_{phase}_{epoch}.png")
+    synth, _ = generator_apply(gen_params, gen_state, fixed_noise, train=False)
+    reporting.image_grid(
+        np.asarray(synth),
+        ctx.run.reports_dir / f"synthetic_images_{epoch}.png", drange=(-1, 1))
+
+
 def run_inverter(
     ctx: StageContext,
     gen_params,
     gen_state,
     cnn=None,  # (params, state, ResNetDef) for the perceptual loss
     epochs: int | None = None,
+    viz_every: int = 1,
 ):
     cfg = ctx.cfg
     latent = int(cfg.model_inverter.latent_space)
@@ -555,6 +613,11 @@ def run_inverter(
     iid = ctx.dataset("train", drange=(-1, 1))
     val_iid = ctx.dataset("test", drange=(-1, 1))
     val_ood = ctx.dataset("test", classes=ctx.data_cfg.ood_classes, drange=(-1, 1))
+    # per-epoch visuals: phase recon panels + fixed-noise sample grid
+    # (reference util_inverter.py:221,259,280)
+    phase_sets = {"train": iid, "val_iid": val_iid, "val_ood": val_ood}
+    fixed_noise = jax.random.normal(
+        ctx.keys("inv_fixed_noise"), (32, latent, 1, 1), jnp.float32)
 
     variant = str(cfg.model_inverter.get("encoder_variant", "dcgan") or "dcgan")
     tx = make_optimizer(adam)
@@ -605,10 +668,18 @@ def run_inverter(
             sel = vi_l if np.isfinite(vi_l) else tr_l
             if sel < best:
                 best, best_params, best_state = sel, state.enc_params, state.enc_state
+            if viz_every and epoch % viz_every == 0:
+                _inverter_epoch_viz(
+                    ctx, gen_params, gen_state,
+                    lambda x, st=state: encoder_attgan_apply(
+                        st.enc_params, st.enc_state, x, train=False)[0],
+                    phase_sets, epoch, fixed_noise)
         ctx.ckpt.save_state_dict("encoder", {"params": best_params, "state": best_state,
                                              "variant": "attgan"})
         reporting.plot_training_curves(history, ctx.run.reports_dir / "inverter_training.png")
         mw.close()
+        ctx.run.write_timing({})
+        ctx.run.write_overall_history(history)
         return best_params, history
 
     enc_params, _ = jit_init(
@@ -639,6 +710,13 @@ def run_inverter(
             sel = vi_l if np.isfinite(vi_l) else tr_l
             if sel < best:  # best by val_iid (reference :273-277)
                 best, best_params = sel, state.enc_params
+            if viz_every and epoch % viz_every == 0:
+                from gan_discovery_pso_tpu.models.encoder import encoder_forward
+
+                _inverter_epoch_viz(
+                    ctx, gen_params, gen_state,
+                    lambda x, p=state.enc_params: encoder_forward(p, x),
+                    phase_sets, epoch, fixed_noise)
         enc_final = best_params
     elif training_fun == "pix_fea_rec_adv":
         if cnn is None:
@@ -702,6 +780,13 @@ def run_inverter(
             sel = vi_pixfea if np.isfinite(vi_pixfea) else tr_loss
             if sel < best:  # best by val_iid pix+fea (reference :470-475)
                 best, best_params = sel, state.enc_params
+            if viz_every and epoch % viz_every == 0:
+                from gan_discovery_pso_tpu.models.encoder import encoder_forward
+
+                _inverter_epoch_viz(
+                    ctx, gen_params, gen_state,
+                    lambda x, p=state.enc_params: encoder_forward(p, x),
+                    phase_sets, epoch, fixed_noise)
         enc_final = best_params
     else:
         raise ValueError(training_fun)
@@ -717,6 +802,8 @@ def run_inverter(
     for phase in ("train", "val_iid", "val_ood"):
         reporting.plot_phase_losses(history, ctx.run.reports_dir, phase)
     mw.close()
+    ctx.run.write_timing({})  # (reference inverter.py:242-249)
+    ctx.run.write_overall_history(history)
     return enc_final, history
 
 
@@ -907,8 +994,45 @@ def run_pso_inverter(
 # ---------------------------------------------------------------------------
 
 
+def _regularize_snapshots_and_pickle(ctx, gen_params, gen_state, enc_params,
+                                     images, z_final, labels):
+    """The reference's per-image artifacts from the invert/invert_bn loops
+    (regularize_inverter[_statistics].py:171-190): `ori.png` / `enc.png` /
+    `inv.png` single-image snapshots — rewritten per image there, so the
+    LAST image's triptych is what survives — and the inverted-latent
+    DataFrame `particles_position_ood.pkl` (rows = images, columns = z
+    features + a final uint8 label column, :184-190)."""
+    from gan_discovery_pso_tpu.models.dcgan import generator_apply
+    from gan_discovery_pso_tpu.models.encoder import encoder_forward
+    from gan_discovery_pso_tpu.ops import postprocess_uint8
+
+    last = images[-1:]
+    enc_rec, _ = generator_apply(
+        gen_params, gen_state, encoder_forward(enc_params, last), train=False)
+    inv_rec, _ = generator_apply(
+        gen_params, gen_state, jnp.asarray(z_final[-1:]), train=False)
+    for name, img in (("ori", last), ("enc", enc_rec), ("inv", inv_rec)):
+        reporting.save_grayscale(
+            ctx.run.reports_dir / f"{name}.png",
+            np.asarray(postprocess_uint8(jnp.asarray(img)))[0, 0])
+
+    import pandas as pd
+    import pickle
+
+    zmat = np.asarray(z_final).reshape(len(images), -1)
+    df = pd.DataFrame(np.concatenate(
+        [zmat, np.zeros((len(zmat), 1), zmat.dtype)], axis=1))
+    lab = np.zeros(len(zmat)) if labels is None else np.asarray(labels)[:len(zmat)]
+    # column (not iloc) assignment so the label column really becomes uint8
+    # like the reference's .astype('uint8') (regularize_inverter.py:188)
+    df[df.columns[-1]] = lab.astype(np.uint8)
+    with open(ctx.run.interim_dir / "particles_position_ood.pkl", "wb") as f:
+        pickle.dump(df, f)
+
+
 def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params,
-                            images, iterations: int = 500, num_vis: int = 10):
+                            images, iterations: int = 500, num_vis: int = 10,
+                            labels=None):
     """Per-image gradient descent on z (reference regularize_inverter.py via
     util_inverter.invert:544-638), batched. num_vis reconstruction
     snapshots decode post-hoc from the recorded z trajectory — the
@@ -937,12 +1061,16 @@ def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params
                 ctx.run.reports_dir / f"synthetic_images_{step}.png",
                 drange=(-1, 1))
     np.savez_compressed(ctx.run.interim_dir / "inverted_z.npz", z=np.asarray(z))
+    _regularize_snapshots_and_pickle(ctx, gen_params, gen_state, enc_params,
+                                     images, z, labels)
+    ctx.run.write_timing({})  # (reference regularize_inverter.py:195-200)
+    ctx.run.write_overall_history({k: list(v) for k, v in hist.items()})
     return z, hist
 
 
 def run_regularize_inverter_statistics(
     ctx: StageContext, gen_params, gen_state, enc_params, images,
-    pso_interim_dir, classes=None, iterations: int = 500,
+    pso_interim_dir, classes=None, iterations: int = 500, labels=None,
 ):
     """z-statistics variant: normalize against PSO particle populations
     (reference regularize_inverter_statistics.py + invert_bn)."""
@@ -963,6 +1091,10 @@ def run_regularize_inverter_statistics(
     np.savez_compressed(
         ctx.run.interim_dir / "inverted_bn_z.npz", z=np.asarray(z), weights=np.asarray(w)
     )
+    _regularize_snapshots_and_pickle(ctx, gen_params, gen_state, enc_params,
+                                     images, z, labels)
+    ctx.run.write_timing({})
+    ctx.run.write_overall_history({k: list(v) for k, v in hist.items()})
     return z, w, hist
 
 
@@ -1067,6 +1199,12 @@ def run_vqvae(
         ctx.run.reports_dir / f"synthetic_images_{epochs - 1}.png",
         drange=(-1, 1))
     reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
+    # per-component figures in the reference layout (utils_vq_vae/
+    # util_report.py:13-36 → training_plot/{reconstruction_loss,vq_loss}.png)
+    plot_dir = ctx.run.reports_dir / "training_plot"
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    reporting.plot_vqvae_losses(history, plot_dir)
+    ctx.run.write_timing({})  # (reference vq_vae.py:247-257)
     return state, history, d
 
 

@@ -119,7 +119,12 @@ def train_vqvae(
     uses it for the reference's img_loss_{phase}_{epoch+1}.png recon panels
     (vq_vae.py:221-227)."""
     train_step, eval_step = make_vqvae_steps(d, adam, beta, frozen_decoder)
-    history = {"train_loss": [], "val_iid_loss": [], "val_ood_loss": []}
+    # component keys use the reference's names so its plot_training figures
+    # (reconstruction_loss.png / vq_loss.png) read the history unchanged
+    # (reference vq_vae.py:229-232)
+    history = {"train_loss": [], "val_iid_loss": [], "val_ood_loss": [],
+               "train_loss_recons": [], "train_loss_vq": [],
+               "val_ood_loss_recons": [], "val_ood_loss_vq": []}
     best = float("inf")
     best_epoch = 0
     best_params, best_ms = state.params, state.model_state
@@ -128,16 +133,23 @@ def train_vqvae(
         return float(jnp.mean(jnp.stack(vals))) if vals else float("nan")
 
     for epoch in range(num_epochs):
-        tl = []
+        tl, tl_rec, tl_vq = [], [], []
         for x, _y in train_batches(epoch):
             state, m = train_step(state, x)
             tl.append(m["loss"])
+            tl_rec.append(m["loss_recons"])
+            tl_vq.append(m["loss_vq"])
         vi = [eval_step(state, x)["loss_recons"] for x, _y in val_iid_batches(epoch)]
-        vo = [eval_step(state, x)["loss_recons"] for x, _y in val_ood_batches(epoch)]
+        vom = [eval_step(state, x) for x, _y in val_ood_batches(epoch)]
+        vo = [m["loss_recons"] for m in vom]
         tr, viid, vood = _mean(tl), _mean(vi), _mean(vo)
         history["train_loss"].append(tr)
         history["val_iid_loss"].append(viid)
         history["val_ood_loss"].append(vood)
+        history["train_loss_recons"].append(_mean(tl_rec))
+        history["train_loss_vq"].append(_mean(tl_vq))
+        history["val_ood_loss_recons"].append(vood)
+        history["val_ood_loss_vq"].append(_mean([m["loss_vq"] for m in vom]))
         if metrics_writer is not None:
             metrics_writer.append(epoch, train_loss=tr, val_iid_loss=viid, val_ood_loss=vood)
         if report_cb is not None:

@@ -277,6 +277,49 @@ def test_new_reporting_helpers(tmp_path):
     assert reporting.plot_ellipsoids(
         pts, labs, gmm.means_, gmm.covariances_, tmp_path / "ell.png",
         dim_red_algorithm="pca").exists()
+    # vqvae component figures: only pairs whose series both exist are drawn
+    paths = reporting.plot_vqvae_losses(
+        {"train_loss_recons": [1.0, 0.5], "val_ood_loss_recons": [1.1, 0.6]},
+        tmp_path)
+    assert [p.name for p in paths] == ["reconstruction_loss.png"]
+    paths = reporting.plot_vqvae_losses(
+        {"train_loss_recons": [1.0], "val_ood_loss_recons": [1.1],
+         "train_loss_vq": [0.2], "val_ood_loss_vq": [0.3]}, tmp_path)
+    assert {p.name for p in paths} == {"reconstruction_loss.png", "vq_loss.png"}
+    # grayscale single-image writer (reference save_image)
+    img = (rng.rand(28, 28) * 255).astype(np.uint8)
+    p = reporting.save_grayscale(tmp_path / "ori.png", img)
+    from PIL import Image
+
+    assert np.array_equal(np.asarray(Image.open(p)), img)
+    # 3-row denoise panel
+    assert reporting.denoise_panel(
+        rng.rand(4, 1, 8, 8), rng.rand(4, 1, 8, 8), rng.rand(4, 1, 8, 8),
+        tmp_path / "img_loss.png", n_img=4).exists()
+
+
+def test_cv_evaluator_mean_roc_and_scores(tmp_path):
+    """CvEvaluator's reference-parity extras: mean_roc_{group}.png
+    (util_report.py:440-466) and overall_scores.pkl (:409-411)."""
+    rng = np.random.RandomState(3)
+    ev = reporting.CvEvaluator()
+    for _ in range(3):
+        y = rng.randint(0, 2, 40)
+        s = np.clip(y * 0.6 + rng.rand(40) * 0.5, 0, 1)
+        ev.add_fold(y, s)
+    p = ev.plot_mean_roc(tmp_path / "mean_roc_slices.png", group="slices")
+    assert p is not None and p.exists()
+    sp = ev.save_overall_scores(tmp_path / "overall_scores.pkl")
+    import pickle
+
+    with open(sp, "rb") as f:
+        slices, patients = pickle.load(f)
+    assert len(slices) == 3 and patients == []
+    assert {"accuracy", "auc", "g"} <= set(slices[0])
+    # all-one-class folds degrade to None instead of crashing
+    ev2 = reporting.CvEvaluator()
+    ev2.add_fold(np.ones(10, int), np.linspace(0, 1, 10))
+    assert ev2.plot_mean_roc(tmp_path / "m2.png") is None
 
 
 def test_clustering_stage_em_with_ood_overlay(tmp_path):

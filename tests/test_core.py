@@ -98,6 +98,16 @@ def test_rundir_snapshot(tmp_path):
     assert (r.reports_dir / "configuration.yaml").exists()
     r.write_timing({"training_time": 1.5})
     assert (r.reports_dir / "timing.json").exists()
+    # reference pickle twins (general/timing.pkl + overall_history.pkl,
+    # e.g. src/training/dcgan.py:209-214) with the reference's keys
+    import pickle
+
+    with open(r.reports_dir / "general" / "timing.pkl", "rb") as f:
+        t = pickle.load(f)
+    assert t["training_time"] == 1.5 and "overall_time" in t
+    r.write_overall_history({"loss": [1.0, 0.5]})
+    with open(r.reports_dir / "general" / "overall_history.pkl", "rb") as f:
+        assert pickle.load(f) == {"loss": [1.0, 0.5]}
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -79,6 +79,8 @@ def artifacts(roots):
 
     ctx = _ctx(roots, "cae")
     cae_state, cae_hist = run_cae(ctx, epochs=1)
+    # denoise recon panel (reference util_cae.py:221 → img_loss.png)
+    assert (ctx.run.reports_dir / "img_loss.png").exists()
     out["cae"] = (ctx, cae_state, cae_hist)
 
     ctx2 = _ctx(roots, "classifiers")
@@ -258,6 +260,11 @@ def test_inverter_stage_artifacts(artifacts):
     ctx, enc_params, hist = artifacts["inverter"]
     assert (ctx.run.models_dir / "encoder.msgpack").exists()
     assert np.isfinite(hist["train_loss"][0])
+    # per-epoch visuals (reference util_inverter.py:259,280): phase recon
+    # panels + fixed-noise sample grid
+    for phase in ("train", "val_iid", "val_ood"):
+        assert (ctx.run.reports_dir / f"img_loss_{phase}_0.png").exists()
+    assert (ctx.run.reports_dir / "synthetic_images_0.png").exists()
 
 
 def test_extractor_pso_inverter_and_regularize(roots, artifacts):
@@ -299,16 +306,28 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
 
     # gradient inversion
     ctxR = _ctx(roots, "regularize_inverter")
-    imgs = ctxR.dataset("test", drange=(-1, 1)).images[:2]
+    ds_ood = ctxR.dataset("test", drange=(-1, 1))
+    imgs = ds_ood.images[:2]
     z, hist = run_regularize_inverter(
         ctxR, gan_state.gen_params, gan_state.gen_state, enc_params, imgs,
-        iterations=10, num_vis=2,
+        iterations=10, num_vis=2, labels=np.asarray(ds_ood.labels)[:2],
     )
     assert (ctxR.run.interim_dir / "inverted_z.npz").exists()
     # reference synthetic_images_{step}.png snapshots (util_inverter:622-624)
     for step in (0, 5, 10):
         assert (ctxR.run.reports_dir / f"synthetic_images_{step}.png").exists()
     assert "z" not in hist  # vis latents are consumed, not leaked
+    # last-image ori/enc/inv triptych + inverted-latent DataFrame pickle
+    # (reference regularize_inverter.py:171-190)
+    for name in ("ori", "enc", "inv"):
+        assert (ctxR.run.reports_dir / f"{name}.png").exists()
+    import pickle
+
+    with open(ctxR.run.interim_dir / "particles_position_ood.pkl", "rb") as f:
+        df_ood = pickle.load(f)
+    assert df_ood.shape == (2, z.reshape(2, -1).shape[1] + 1)
+    assert df_ood.iloc[:, -1].dtype == np.uint8
+    assert list(df_ood.iloc[:, -1]) == list(np.asarray(ds_ood.labels)[:2])
 
     ctxS = _ctx(roots, "regularize_inverter_statistics")
     z2, w, hist2 = run_regularize_inverter_statistics(
@@ -316,6 +335,8 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
         pso_interim_dir=ctx5.run.interim_dir, classes=(0, 2), iterations=5,
     )
     assert (ctxS.run.interim_dir / "inverted_bn_z.npz").exists()
+    assert (ctxS.run.interim_dir / "particles_position_ood.pkl").exists()
+    assert (ctxS.run.reports_dir / "inv.png").exists()
     # per-image weight vectors over the 2 classes (reference runs B=1 with
     # fresh weights per image)
     assert w.shape == (2, 2)
@@ -354,6 +375,10 @@ def test_vqvae_and_analyses(roots, artifacts):
     for phase in ("train", "val_iid", "val_ood"):
         assert (ctxV.run.reports_dir / f"img_loss_{phase}_1.png").exists()
     assert (ctxV.run.reports_dir / "synthetic_images_0.png").exists()
+    # per-component loss figures (reference utils_vq_vae/util_report.py:13-36)
+    assert (ctxV.run.reports_dir / "training_plot" / "reconstruction_loss.png").exists()
+    assert (ctxV.run.reports_dir / "training_plot" / "vq_loss.png").exists()
+    assert np.isfinite(hist["train_loss_vq"][0])
 
     # pixelcnn prior from the trained vqvae run (the CLI pixelcnn-prior leg)
     from gan_discovery_pso_tpu.pipelines import run_pixelcnn_prior_from_vqvae
