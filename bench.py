@@ -16,13 +16,17 @@ fp32 batched number (gate state is reported in the JSON line).
 MFU: analytic model FLOPs per eval (XLA compiled cost analysis of one
 fitness forward, divided by batch) x measured evals/s / chip bf16 peak.
 
-Measurement protocol: the headline is SUSTAINED throughput — 10 independent
-optimize calls kept in flight via JAX async dispatch, blocked once. This
-host reaches the TPU through a tunnel whose ~30 ms per-dispatch RTT is not
-device time (the profiler clocks the 50-iteration XLA module at ~15 ms);
+Measurement protocol: the headline is SUSTAINED throughput — 20 independent
+optimize calls kept in flight via JAX async dispatch, then barriered ONCE by
+a real host transfer of the last call's 8-float result (on this backend
+jax.block_until_ready can return before execution finishes — a result
+transfer is the only trustworthy barrier; executions on the single device
+complete in dispatch order, so the last result arriving means all did).
+This host reaches the TPU through a tunnel whose ~30 ms per-dispatch RTT is
+not device time (the profiler clocks the 50-iteration XLA module at ~15 ms);
 every real sweep (latent-dim x class x patient) keeps multiple optimizes
 enqueued and gets the sustained rate. The blocking single-dispatch latency
-is reported alongside as single_dispatch_evals_per_sec.
+(one call, result fetched) is reported as single_dispatch_evals_per_sec.
 
 Baseline: a torch-CPU re-creation of the reference's execution pattern
 (batch-1 G forward + batch-1 ResNet50 forward per particle, host update
@@ -220,26 +224,34 @@ def measure_tpu() -> dict:
             sk = jax.vmap(jax.random.fold_in, (0, None))(swarm_keys, salt)
             return run(sk, gp, gs, rp, rs, class_idxs)
 
+        # BARRIER HONESTY: on the axon tunnel backend jax.block_until_ready
+        # can return before the execution actually finishes (measured: the
+        # fp32 program "completed" in 2.7 ms, 4x the chip's physical peak,
+        # then the subsequent 8-float result fetch stalled 2.3 s). The only
+        # trustworthy barrier is a real host transfer of a RESULT array —
+        # 8 floats, one tunnel RTT. For the pipeline, executions on the one
+        # device complete in dispatch order, so fetching the LAST call's
+        # result is a one-RTT barrier for the whole batch.
+        def fetch(o):
+            return np.asarray(o[0].g_best_val, np.float32)
+
         t0 = time.time()
         if dtype is None:
             out = call()
         else:
             with fast_math():  # tracing happens on first call
                 out = call()
-        jax.block_until_ready(out)
+        g_best = fetch(out)  # salt=0 run, shared across dtypes (the gate)
         log(f"{label}: compile+first run {time.time() - t0:.1f}s")
-        g_best_gate = out[0].g_best_val  # salt=0 run, shared across dtypes
         single = float("inf")
         for i in range(reps):
             t0 = time.time()
-            out = call(1 + i)
-            jax.block_until_ready(out)
+            fetch(call(1 + i))
             single = min(single, time.time() - t0)
         t0 = time.time()
         outs = [call(100 + i) for i in range(pipeline_depth)]
-        jax.block_until_ready(outs)
+        fetch(outs[-1])
         piped = (time.time() - t0) / pipeline_depth
-        g_best = np.asarray(g_best_gate, np.float32)
         log(f"{label}: pipelined {piped * 1000:.1f} ms/call -> "
             f"{total_evals / piped:.0f} evals/s "
             f"(single-dispatch {single * 1000:.1f} ms -> "
@@ -288,13 +300,16 @@ def measure_tpu() -> dict:
             sk = jax.vmap(jax.random.fold_in, (0, None))(swarm_keys, salt)
             return run_tp(sk, gp, gs, rp, rs, class_idxs)
 
+        def fetch_tp(o):
+            return np.asarray(o[0].g_best_val, np.float32)
+
         with fast_math():
             out = call_tp()
-        jax.block_until_ready(out)
-        jax.block_until_ready(call_tp(1))  # warm
+        fetch_tp(out)
+        fetch_tp(call_tp(1))  # warm
         t0 = time.time()
         outs = [call_tp(2 + i) for i in range(6)]  # pipelined like the headline
-        jax.block_until_ready(outs)
+        fetch_tp(outs[-1])  # in-order queue: one-RTT barrier (see timed())
         best_tp = (time.time() - t0) / 6
         tp_evals = N_CLASSES * 256 * N_ITERATIONS / best_tp
         tp_mfu = (fpe * tp_evals / PEAK_FLOPS) if fpe else None
@@ -309,12 +324,12 @@ def measure_tpu() -> dict:
         fit32 = make_discovery_fitness(gp, gs, rp, rs, rdef, class_idx=2)
         run1 = jax.jit(lambda k: optimize(k, fit32, hp))
         out = run1(keys("pso"))
-        jax.block_until_ready(out)
+        np.asarray(out[0].g_best_val)  # real-transfer barrier (see timed())
         best1 = float("inf")
         for i in range(3):
             t0 = time.time()
             out = run1(jax.random.key(i))
-            jax.block_until_ready(out)
+            np.asarray(out[0].g_best_val)
             best1 = min(best1, time.time() - t0)
         single32 = N_ITERATIONS * N_PARTICLES / best1
         log(f"fp32 single-swarm 32p (r01 headline workload): {single32:.0f} evals/s")
