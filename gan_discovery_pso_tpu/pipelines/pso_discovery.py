@@ -216,7 +216,9 @@ def run_pso_discovery_batched(
             finals, hists, inits = call()
     else:
         finals, hists, inits = call()
-    jax.block_until_ready(finals)
+    # real result transfer as the completion barrier (block_until_ready can
+    # return early on this backend — see bench.py)
+    np.asarray(finals.g_best_val)
     wall = _time.time() - t0
 
     fitness_dyn = None

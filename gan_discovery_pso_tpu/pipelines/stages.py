@@ -953,7 +953,7 @@ def run_pso_inverter(
         fine_state.params, fine_state.model_state,
         jnp.asarray(1, jnp.int32), slices, init_positions,
     )
-    jax.block_until_ready(final)
+    np.asarray(final.g_best_val)  # result-transfer barrier (see bench.py)
     res_wall = _time.time() - _t0
     res = SwarmResult(final, hist, init, hp_n)
     save_particle_histories(
@@ -1176,7 +1176,25 @@ def run_vqvae(
             reporting.recon_panel(
                 np.asarray(x), xr,
                 ctx.run.reports_dir / f"img_loss_{phase}_{epoch + 1}.png")
+        # per-epoch decoder samples from FIXED noise + per-epoch model
+        # checkpoint (reference vq_vae.py:234 show_gan_images and :244-245
+        # model_{e+1}.pt — the per-epoch file is the resume/inspection
+        # contract; best_vqvae is saved after training like best_{e+1}.pt)
+        from gan_discovery_pso_tpu.models.dcgan import generator_apply
 
+        synth, _ = generator_apply(st.params["decoder"],
+                                   st.model_state["decoder"], noise,
+                                   train=False)
+        reporting.image_grid(
+            np.asarray(synth),
+            ctx.run.reports_dir / f"synthetic_images_{epoch}.png",
+            drange=(-1, 1))
+        ctx.ckpt.save_state_dict(
+            f"model_{epoch + 1}",
+            {"params": st.params, "state": st.model_state})
+
+    noise = jax.random.normal(ctx.keys("vqvae_fixed_noise"),
+                              (32, d.embedded_dim, 1, 1), jnp.float32)
     state, history, best_epoch = train_vqvae(
         state, d, adam,
         ctx.batches(iid, bs), ctx.batches(val_iid, bs, drop_last=False), ctx.batches(val_ood, bs, drop_last=False),
@@ -1186,18 +1204,6 @@ def run_vqvae(
     )
     ctx.ckpt.save_best("vqvae", best_epoch,
                        {"params": state.params, "state": state.model_state})
-    # decoder samples from fixed noise at end of training (reference
-    # vq_vae.py:214,234 show_gan_images → synthetic_images_{epoch}.png)
-    noise = jax.random.normal(ctx.keys("vqvae_fixed_noise"),
-                              (32, d.embedded_dim, 1, 1), jnp.float32)
-    from gan_discovery_pso_tpu.models.dcgan import generator_apply
-
-    synth, _ = generator_apply(state.params["decoder"],
-                               state.model_state["decoder"], noise, train=False)
-    reporting.image_grid(
-        np.asarray(synth),
-        ctx.run.reports_dir / f"synthetic_images_{epochs - 1}.png",
-        drange=(-1, 1))
     reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
     # per-component figures in the reference layout (utils_vq_vae/
     # util_report.py:13-36 → training_plot/{reconstruction_loss,vq_loss}.png)

@@ -375,6 +375,8 @@ def test_vqvae_and_analyses(roots, artifacts):
     for phase in ("train", "val_iid", "val_ood"):
         assert (ctxV.run.reports_dir / f"img_loss_{phase}_1.png").exists()
     assert (ctxV.run.reports_dir / "synthetic_images_0.png").exists()
+    # per-epoch model checkpoint (reference vq_vae.py:244-245 model_{e+1}.pt)
+    assert (ctxV.run.models_dir / "model_1.msgpack").exists()
     # per-component loss figures (reference utils_vq_vae/util_report.py:13-36)
     assert (ctxV.run.reports_dir / "training_plot" / "reconstruction_loss.png").exists()
     assert (ctxV.run.reports_dir / "training_plot" / "vq_loss.png").exists()
