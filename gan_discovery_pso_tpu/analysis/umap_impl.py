@@ -151,9 +151,23 @@ class UMAP:
         if e == 0 or n_epochs == 0:
             return np.asarray(init, np.float32)
         a, b = find_ab_params(self.spread, self.min_dist)
+        probs_np = np.asarray(weights / weights.max(), np.float64)
+        # pad the edge axis to a power-of-two bucket: the jitted scan is
+        # shape-specialized, and per-iteration analysis calls (e.g.
+        # pipelines.run_pso_analysis's umap_space_{i}.png loop) present a
+        # slightly different edge count every call — padding with
+        # never-active (prob=0) self-edges lets ONE compiled layout program
+        # serve the whole sweep instead of recompiling per iteration
+        e_pad = max(256, 1 << (e - 1).bit_length())
+        if e_pad != e:
+            pad = e_pad - e
+            heads = np.concatenate([np.asarray(heads), np.zeros(pad, np.int64)])
+            tails = np.concatenate([np.asarray(tails), np.zeros(pad, np.int64)])
+            probs_np = np.concatenate([probs_np, np.zeros(pad)])
+            e = e_pad
         heads = jnp.asarray(heads, jnp.int32)
         tails = jnp.asarray(tails, jnp.int32)
-        probs = jnp.asarray(weights / weights.max(), jnp.float32)
+        probs = jnp.asarray(probs_np, jnp.float32)
         y0 = jnp.asarray(init, jnp.float32)
         ref = y0 if fixed_ref is None else jnp.asarray(fixed_ref, jnp.float32)
         n_ref = ref.shape[0]

@@ -12,6 +12,10 @@ runs over the TPU tunnel (slow, single-device).
 
 import os
 
+# figure artifacts keep identical content at a smaller raster — the suite
+# renders hundreds of matplotlib figures on this 1-core host (reporting._dpi)
+os.environ.setdefault("GDPT_PLOT_DPI_SCALE", "0.3")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
