@@ -95,6 +95,62 @@ def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
     return float(a), float(b)
 
 
+_LAYOUT_CACHE: dict = {}
+
+
+def _layout_fn(n_epochs: int, neg: int, move_tail: bool, has_ref: bool):
+    """One jitted layout program per (n_epochs, neg, move_tail, has_ref):
+    everything else — embedding, edges, probs, (a, b, lr), PRNG key — enters
+    as an argument, so repeated fits at the same (padded) shapes reuse ONE
+    compiled executable instead of re-jitting a fresh closure per call."""
+    cache_key = (n_epochs, neg, move_tail, has_ref)
+    if cache_key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[cache_key]
+
+    import jax
+    import jax.numpy as jnp
+
+    def clip4(g):
+        return jnp.clip(g, -4.0, 4.0)
+
+    @jax.jit
+    def run(y0, ref, heads, tails, probs, abl, key):
+        a, b, lr0 = abl[0], abl[1], abl[2]
+        e = heads.shape[0]
+        n_ref = ref.shape[0]
+
+        def epoch(y, ep):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, ep))
+            alpha = lr0 * (1.0 - ep / n_epochs)
+            active = jax.random.uniform(k1, (e,)) < probs  # Bernoulli(w/w_max)
+
+            yh = y[heads]
+            yt = ref[tails] if has_ref else y[tails]
+            diff = yh - yt
+            d2 = jnp.sum(diff * diff, axis=1)
+            att = (-2.0 * a * b * d2 ** (b - 1.0)) / (a * d2 ** b + 1.0)
+            att = jnp.where(d2 > 0, att, 0.0)
+            g_att = clip4(att[:, None] * diff) * active[:, None]
+            y = y.at[heads].add(alpha * g_att)
+            if move_tail and not has_ref:
+                y = y.at[tails].add(-alpha * g_att)
+
+            # negative sampling: `neg` uniform repulsors per active edge
+            nidx = jax.random.randint(k2, (e, neg), 0, n_ref)
+            yn = ref[nidx] if has_ref else y[nidx]
+            diffn = y[heads][:, None, :] - yn  # [E, neg, dim]
+            d2n = jnp.sum(diffn * diffn, axis=2)
+            rep = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
+            g_rep = clip4(rep[:, :, None] * diffn) * active[:, None, None]
+            y = y.at[heads].add(alpha * jnp.sum(g_rep, axis=1))
+            return y, None
+
+        return jax.lax.scan(epoch, y0, jnp.arange(n_epochs))[0]
+
+    _LAYOUT_CACHE[cache_key] = run
+    return run
+
+
 class UMAP:
     """Drop-in subset of umap-learn's API: fit / fit_transform / transform."""
 
@@ -165,47 +221,21 @@ class UMAP:
             tails = np.concatenate([np.asarray(tails), np.zeros(pad, np.int64)])
             probs_np = np.concatenate([probs_np, np.zeros(pad)])
             e = e_pad
-        heads = jnp.asarray(heads, jnp.int32)
-        tails = jnp.asarray(tails, jnp.int32)
-        probs = jnp.asarray(probs_np, jnp.float32)
         y0 = jnp.asarray(init, jnp.float32)
         ref = y0 if fixed_ref is None else jnp.asarray(fixed_ref, jnp.float32)
-        n_ref = ref.shape[0]
-        neg = self.negative_sample_rate
-        lr0 = self.learning_rate
-        key = jax.random.key(key_seed)
-
-        def clip4(g):
-            return jnp.clip(g, -4.0, 4.0)
-
-        def epoch(y, ep):
-            k1, k2 = jax.random.split(jax.random.fold_in(key, ep))
-            alpha = lr0 * (1.0 - ep / n_epochs)
-            active = jax.random.uniform(k1, (e,)) < probs  # Bernoulli(w/w_max)
-
-            yh = y[heads]
-            yt = ref[tails] if fixed_ref is not None else y[tails]
-            diff = yh - yt
-            d2 = jnp.sum(diff * diff, axis=1)
-            att = (-2.0 * a * b * d2 ** (b - 1.0)) / (a * d2 ** b + 1.0)
-            att = jnp.where(d2 > 0, att, 0.0)
-            g_att = clip4(att[:, None] * diff) * active[:, None]
-            y = y.at[heads].add(alpha * g_att)
-            if move_tail and fixed_ref is None:
-                y = y.at[tails].add(-alpha * g_att)
-
-            # negative sampling: `neg` uniform repulsors per active edge
-            nidx = jax.random.randint(k2, (e, neg), 0, n_ref)
-            yn = ref[nidx] if fixed_ref is not None else y[nidx]
-            diffn = y[heads][:, None, :] - yn  # [E, neg, dim]
-            d2n = jnp.sum(diffn * diffn, axis=2)
-            rep = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
-            g_rep = clip4(rep[:, :, None] * diffn) * active[:, None, None]
-            y = y.at[heads].add(alpha * jnp.sum(g_rep, axis=1))
-            return y, None
-
-        run = jax.jit(lambda y: jax.lax.scan(epoch, y, jnp.arange(n_epochs))[0])
-        return np.asarray(run(y0))
+        run = _layout_fn(
+            int(n_epochs), int(self.negative_sample_rate),
+            bool(move_tail), fixed_ref is not None,
+        )
+        return np.asarray(run(
+            y0,
+            ref,
+            jnp.asarray(heads, jnp.int32),
+            jnp.asarray(tails, jnp.int32),
+            jnp.asarray(probs_np, jnp.float32),
+            jnp.asarray([a, b, self.learning_rate], jnp.float32),
+            jax.random.key(key_seed),
+        ))
 
     # -- public api ----------------------------------------------------------
 

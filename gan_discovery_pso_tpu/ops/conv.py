@@ -231,6 +231,12 @@ def _convt_einsum(x, weight, p, op, preferred_dtype, precision):
     w[i,o,y,x] (the kernel is stamped once per sample). The dilated form
     instead convolves a k-padded 1x1 image — k·k MACs per output position
     with one real tap each."""
+    if x.shape[2] != 1 or x.shape[3] != 1:
+        raise ValueError(
+            "lowering='einsum' requires a 1x1-spatial input (got "
+            f"{x.shape[2]}x{x.shape[3]}); use 'einsum1x1' to apply it only "
+            "where valid, or 'dilated'/'subpixel'."
+        )
     kh, kw = weight.shape[2], weight.shape[3]
     full = jnp.einsum(
         "ni,iohw->nohw",

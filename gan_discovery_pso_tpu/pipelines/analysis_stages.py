@@ -103,7 +103,11 @@ def run_pso_analysis(ctx: StageContext, pso_interim_dir, classes=None,
     reporting.plot_scatter_2d(u2, labels, ctx.run.reports_dir / f"umap_{kind}.png",
                               title=f"{method} of {kind} particles")
     ctx.run.write_timing({})  # (reference pso_analysis.py:127-132)
-    return {"pca": p2, "umap": u2, "labels": labels}
+    # pso_analysis.py:131-132 also dumps overall_history (empty in the
+    # reference — never populated); we store the computed projections
+    summary = {"pca": p2, "umap": u2, "labels": labels}
+    ctx.run.write_overall_history(summary)
+    return summary
 
 
 def run_pso_analysis_clustering(

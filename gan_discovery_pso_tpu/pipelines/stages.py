@@ -899,6 +899,7 @@ def run_pso_inverter(
     from gan_discovery_pso_tpu.core.checkpoint import restore_tree
 
     saved = ctx.ckpt.try_load(f"model_{ood_patient}.msgpack")
+    cnn_history = None
     if saved is not None:
         from gan_discovery_pso_tpu.train.cnn import CnnTrainState as _CTS
 
@@ -926,6 +927,7 @@ def run_pso_inverter(
                                  {"params": fine_state.params, "state": fine_state.model_state})
         # fine-tune training figures (reference pso_inverter.py:263)
         reporting.plot_cnn_training(_h, ctx.run.reports_dir, label=ood_patient)
+        cnn_history = _h
 
     # --- phase 2: encoder-seeded swarm over the patient's slices
     ood = ctx.dataset("train", classes=(ood_patient,), drange=(-1, 1))
@@ -986,6 +988,15 @@ def run_pso_inverter(
     ctx.run.write_timing({
         f"pso_inverter_time_ood_patient_{ood_patient}": res_wall,
     })
+    # overall_history.pkl with the reference's keys (pso_inverter.py:261,346:
+    # cnn fine-tune history — only when trained, try-load leaves it absent —
+    # plus the swarm history)
+    overall_history = {
+        f"pso_inverter_history_ood_patient_{ood_patient}": res.history_dict(),
+    }
+    if cnn_history is not None:
+        overall_history[f"cnn_history_ood_patient_{ood_patient}"] = cnn_history
+    ctx.run.write_overall_history(overall_history)
     return res, fine_state
 
 
@@ -1211,6 +1222,9 @@ def run_vqvae(
     plot_dir.mkdir(parents=True, exist_ok=True)
     reporting.plot_vqvae_losses(history, plot_dir)
     ctx.run.write_timing({})  # (reference vq_vae.py:247-257)
+    # vq_vae.py:256-257 dumps overall_history.pkl too — the reference leaves
+    # it an empty dict (history never flows in); we write the real history
+    ctx.run.write_overall_history(history)
     return state, history, d
 
 

@@ -55,6 +55,30 @@ def test_umap_impl_separates_blobs_and_transforms():
     assert (d_a < d_b).mean() >= 0.9
 
 
+def test_umap_layout_program_reused_across_fits():
+    """Per-iteration analysis sweeps fit UMAP dozens of times on same-shaped
+    inputs; the jitted layout must compile ONCE (edge axis is padded to
+    power-of-two buckets, arrays enter as arguments — umap_impl._layout_fn),
+    not once per fit like the old per-call jit(lambda) closure did."""
+    from gan_discovery_pso_tpu.analysis import umap_impl
+    from gan_discovery_pso_tpu.analysis.umap_impl import UMAP as UMAP_CLS
+
+    x = _blobs()
+    kw = dict(n_neighbors=10, n_epochs=20, random_state=0)
+    e1 = UMAP_CLS(**kw).fit_transform(x)
+    run = umap_impl._layout_fn(20, 5, True, False)
+    size0 = run._cache_size()
+    assert size0 >= 1
+    # same shapes (same padded edge bucket) → zero new compiles
+    e2 = UMAP_CLS(**kw).fit_transform(x + 0.01)
+    assert run._cache_size() == size0
+    assert umap_impl._layout_fn(20, 5, True, False) is run
+    # determinism with identical input is preserved across the cache
+    e3 = UMAP_CLS(**kw).fit_transform(x)
+    np.testing.assert_allclose(e1, e3, rtol=0, atol=0)
+    assert e2.shape == e1.shape
+
+
 def test_clustering_factory_and_assignment():
     x = _blobs(1)
     for algo in ("kmeans", "em", "expectation_maximization"):

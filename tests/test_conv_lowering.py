@@ -138,6 +138,22 @@ def test_conv2d_s2d_gradients_match(cin, cout, k, s, p, hw):
                                rtol=GRTOL, atol=GATOL)
 
 
+def test_convt_einsum_rejects_spatial_input():
+    """Forcing lowering='einsum' on a >1x1 input must raise, not silently
+    compute from x[:, :, 0, 0] (which would drop all other pixels)."""
+    x = jnp.array(_rand(1, 3, 7, 7, seed=61))
+    w = jnp.array(_rand(3, 4, 4, 4, seed=62))
+    with pytest.raises(ValueError, match="1x1-spatial"):
+        conv_transpose2d(x, w, stride=2, padding=1, lowering="einsum")
+    # einsum1x1 applies einsum only where valid → correct on spatial inputs
+    want = F.conv_transpose2d(torch.tensor(np.asarray(x)),
+                              torch.tensor(np.asarray(w)),
+                              stride=2, padding=1).numpy()
+    got = np.asarray(conv_transpose2d(x, w, stride=2, padding=1,
+                                      lowering="einsum1x1"))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
 def test_conv2d_auto_skips_unaligned_and_large_contraction():
     # odd H with stride 2 → auto must fall back to direct (and still be right)
     x = _rand(2, 1, 15, 15, seed=51)

@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -35,8 +36,9 @@ def main():
 
     configs = [
         ("dilated+direct", "dilated", "direct"),
+        ("subpixel+direct", "auto", "direct"),
         ("einsum1x1+direct", "einsum1x1", "direct"),
-        ("einsum1x1+s2d", "einsum1x1", "auto"),
+        ("dilated+s2d", "dilated", "auto"),
     ]
     for n_p in (32, 256):
         hp = PsoConfig(n_iterations=50, n_particles=n_p, dim_space=DIM)
@@ -45,12 +47,19 @@ def main():
             os.environ["GDPT_CONV_LOWERING"] = conv
             run = make_batched_discovery_runner(rdef, hp, dtype=jnp.bfloat16)
             f = lambda: run(swarm_keys, gp, gs, rp, rs, class_idxs)
+
+            def barrier(out):
+                # honest barrier: a real host transfer of a result array —
+                # on this backend block_until_ready can return before the
+                # execution finishes (see bench.py / docs/BENCH.md)
+                return np.asarray(out[0].g_best_val, np.float32)
+
             with fast_math():
-                jax.block_until_ready(f())
+                barrier(f())
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f())
+                barrier(f())
                 best = min(best, time.perf_counter() - t0)
             evals = N_CLASSES * n_p * 50
             print(f"[{n_p}p {tag:<16}] {best * 1e3:8.1f} ms "
