@@ -454,6 +454,40 @@ def save_image_grid(images, out_path, ncols: int = 8, drange=(0, 1), padding: in
     return Path(out_path)
 
 
+def round_half_up(number, decimals: int = 0) -> int:
+    """The reference's grid-side rule (util_data.py:312-314):
+    int(ceil(x + 0.5)) — note sqrt(16) → side 5, sqrt(64) → side 9."""
+    import math
+
+    multiplier = 10 ** decimals
+    return int(math.ceil(number * multiplier + 0.5) / multiplier)
+
+
+def superimage(images, out_path, drange=(-1, 1), side=None, cap=None):
+    """The reference's `synthetic_images_{epoch}.png` superimage
+    (save_synthetic_images, util_report_gan.py:50-87 ≡ show_gan_images,
+    util_report_inverter.py:100-131): first `cap` images, side =
+    round_half_up(sqrt(N)), blank slots filled with ZERO images in model
+    drange (mid-gray after the (-1,1)→(0,255) rescale), tiles concatenated
+    with no padding, written with cv2.imwrite semantics (raw pixels)."""
+    from PIL import Image
+
+    imgs = np.asarray(images, np.float32)
+    if cap is not None:
+        imgs = imgs[:cap]
+    n = imgs.shape[0]
+    if side is None:
+        side = round_half_up(np.sqrt(n))
+    if n < side * side:
+        blanks = np.zeros((side * side - n, *imgs.shape[1:]), np.float32)
+        imgs = np.concatenate([imgs, blanks], axis=0)
+    canvas = grid_canvas(imgs, ncols=side, drange=drange, padding=0)
+    arr = (canvas * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    img = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+    img.save(out_path, format="PNG")
+    return Path(out_path)
+
+
 def plot_scatter_2d(points, labels, out_path, title="", centers=None, extra=None):
     """Labelled 2-D latent scatter (PCA/UMAP/cluster plots, reference
     util_latent_analysis.py + analysis entries)."""

@@ -369,7 +369,10 @@ def dispatch(args):
             P.run_inverter(ctx, gp, gs, cnn=cnn, epochs=_epochs(args))
         elif stage in ("iid-extract", "ood-extract"):
             enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))
-            P.run_extractor(ctx, enc, kind=stage.split("-")[0])
+            # the reference extractor also loads G and writes per-class
+            # G(E(x)) superimages (iid_extractor.py:163-199); optional here
+            gen = _load_gan(args) if getattr(args, "path_gan", None) else None
+            P.run_extractor(ctx, enc, kind=stage.split("-")[0], gen=gen)
         elif stage == "pso-inverter":
             gp, gs = _load_gan(args)
             enc = P.load_encoder(_require(args.path_inverter, "--path-inverter", "models dir of an inverter run"))

@@ -81,7 +81,7 @@ class MetricsWriter:
     reference's history dicts, src/utils/util_dcgan.py:176)."""
 
     def __init__(self, out_dir: str | Path, name: str = "history",
-                 tensorboard: bool = False):
+                 tensorboard: bool = False, tb_dir: str | Path | None = None):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.name = name
@@ -90,11 +90,12 @@ class MetricsWriter:
         self._tb = None
         if tensorboard:
             # optional TB sink (the reference logs scalars + image grids to
-            # TB, src/utils/util_dcgan.py:156-160,285-297)
+            # TB under general/logs/, src/utils/util_dcgan.py:156-160,285-297)
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self._tb = SummaryWriter(str(self.out_dir / "logs" / name))
+                root = Path(tb_dir) if tb_dir is not None else self.out_dir / "logs"
+                self._tb = SummaryWriter(str(root / name))
             except ImportError:
                 pass
 

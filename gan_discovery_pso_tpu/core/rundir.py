@@ -81,6 +81,25 @@ class RunDir:
             d.mkdir(parents=True, exist_ok=True)
         self._t0 = time.time()
 
+    # -- reference report layout (every entry script creates these two
+    #    subdirs up front, e.g. src/training/cae.py:127-130) ----------------
+
+    @property
+    def general_dir(self) -> Path:
+        """`general/` — superimages, img_loss panels, latent-space plots,
+        posterior histograms, history pickles (reference general_reports_dir)."""
+        d = self.reports_dir / "general"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    @property
+    def plot_dir(self) -> Path:
+        """`training_plot/` — per-metric training curves (reference
+        plot_training_dir)."""
+        d = self.reports_dir / "training_plot"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
     # -- provenance ---------------------------------------------------------
 
     def snapshot_config(self, cfg) -> None:

@@ -169,6 +169,9 @@ class AlexNetDef(NamedTuple):
     padding: int = 0  # reference config uses 'valid' → 0
     alpha: float = 0.2  # LeakyReLU slope
     iid_classes: tuple = ()
+    # reference get_activation (util_cnn.py:48-54): 'LeakyReLU' | 'ReLU',
+    # selected by the config's model_cnn.network.cnn_activation
+    activation: str = "LeakyReLU"
 
     def class_to_idx(self) -> dict:
         """Sorted-label → logit-column map (reference util_cnn.py:204-205)."""
@@ -205,7 +208,12 @@ def alexnet_init(key, d: AlexNetDef, init: str = "glorot_normal"):
 
 
 def alexnet_apply(params, state, x, d: AlexNetDef, train: bool = False, dropout_key=None):
-    act = lambda h: jax.nn.leaky_relu(h, d.alpha)
+    if d.activation == "ReLU":
+        act = jax.nn.relu
+    elif d.activation == "LeakyReLU":
+        act = lambda h: jax.nn.leaky_relu(h, d.alpha)
+    else:  # mirror the reference's get_activation ValueError (util_cnn.py:54)
+        raise ValueError(d.activation)
     h = x
     for name in ("conv1", "conv2", "conv3", "conv4"):
         h = conv2d(h, params[name]["w"], params[name]["b"], stride=1, padding=d.padding)

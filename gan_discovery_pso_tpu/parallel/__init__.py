@@ -10,6 +10,7 @@ from gan_discovery_pso_tpu.parallel.swarm_sharding import (
     history_sharding,
     make_sharded_optimize,
     make_sharded_discovery_runner,
+    make_batched_sharded_discovery_runner,
     make_multi_swarm_optimize,
 )
 from gan_discovery_pso_tpu.parallel.shardmap_swarm import make_shardmap_optimize

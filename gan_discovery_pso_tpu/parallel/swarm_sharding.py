@@ -134,6 +134,81 @@ def make_sharded_discovery_runner(
     return run
 
 
+def make_batched_sharded_discovery_runner(
+    mesh: Mesh,
+    cnn_def,
+    hp: PsoConfig,
+    control: str = "optimize_out_training",
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    dtype=None,
+    class_axis: str = "class",
+    swarm_axis: str = "swarm",
+):
+    """2-D-mesh discovery: ALL class swarms in lockstep (the flagship
+    batched sweep, pso/runner.py:51-91) with the class axis data-parallel
+    over mesh axis `class_axis` AND each swarm's particle axis sharded over
+    `swarm_axis`. Swarms never communicate (reference runs them as a host
+    loop, src/training/pso_discovery.py:174), so the only collective is each
+    class's per-iteration global-best reduction, which GSPMD lowers to an
+    all-reduce over `swarm_axis` only — `class_axis` stays collective-free.
+
+    run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
+    → vmapped (finals, histories, inits) with a leading class axis; particle
+    arrays come back sharded P(class, swarm)."""
+    from gan_discovery_pso_tpu.pso.fitness import apply_discovery_fitness
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    state_sh = SwarmState(
+        positions=sh(P(class_axis, swarm_axis)),
+        velocities=sh(P(class_axis, swarm_axis)),
+        p_best_pos=sh(P(class_axis, swarm_axis)),
+        p_best_val=sh(P(class_axis, swarm_axis)),
+        g_best_pos=sh(P(class_axis)),
+        g_best_val=sh(P(class_axis)),
+        g_prev_val=sh(P(class_axis)),
+        g_improvements=sh(P(class_axis)),
+        w_inertia=sh(P(class_axis)),
+        iteration=sh(P(class_axis)),
+        done=sh(P(class_axis)),
+    )
+    # history arrays gain a leading class axis over [iters, N, d]
+    hist_sh = PsoHistory(
+        positions=sh(P(class_axis, None, swarm_axis)),
+        velocities=sh(P(class_axis, None, swarm_axis)),
+        fitness=sh(P(class_axis, None, swarm_axis)),
+        mean_mse=sh(P(class_axis)),
+        g_best_val=sh(P(class_axis)),
+        g_best_dummy=sh(P(class_axis)),
+        active=sh(P(class_axis)),
+    )
+    out_shardings = (state_sh, hist_sh, state_sh)
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def run(keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs):
+        if dtype is not None:
+            cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+            gen_params_, gen_state_ = cast(gen_params), cast(gen_state)
+            cnn_params_, cnn_state_ = cast(cnn_params), cast(cnn_state)
+        else:
+            gen_params_, gen_state_ = gen_params, gen_state
+            cnn_params_, cnn_state_ = cnn_params, cnn_state
+
+        def one(key, class_idx):
+            def fitness(positions):
+                return apply_discovery_fitness(
+                    positions, gen_params_, gen_state_, cnn_params_,
+                    cnn_state_, cnn_def, class_idx, control=control,
+                    threshold=threshold, eps=eps, dtype=dtype,
+                )
+
+            return optimize(key, fitness, hp)
+
+        return jax.vmap(one, in_axes=(0, 0))(keys, class_idxs)
+
+    return run
+
+
 def make_multi_swarm_optimize(
     fitness_fn_batched: Callable[[jax.Array, jax.Array], jax.Array],
     hp: PsoConfig,

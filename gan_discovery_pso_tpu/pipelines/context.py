@@ -94,7 +94,7 @@ class StageContext:
             try:
                 from gan_discovery_pso_tpu.analysis import reporting
 
-                reporting.plot_digits(ds, self.run.reports_dir / "mnist.png",
+                reporting.plot_digits(ds, self.run.general_dir / "mnist.png",
                                       seed=int(cfg_default(self.cfg, "seed", 42)))
                 self._digits_plotted = True
             except Exception:
@@ -119,7 +119,10 @@ class StageContext:
         return make
 
     def metrics(self, name: str = "history", tensorboard: bool = False) -> MetricsWriter:
-        return MetricsWriter(self.run.reports_dir, name, tensorboard=tensorboard)
+        # TB events under general/logs/ like the reference SummaryWriters
+        # (util_dcgan.py:156-160, vq_vae.py:151)
+        return MetricsWriter(self.run.reports_dir, name, tensorboard=tensorboard,
+                             tb_dir=self.run.general_dir / "logs")
 
     def tee(self) -> Tee:
         return Tee(self.run.reports_dir / "log.txt")

@@ -109,12 +109,15 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
         decode = jax.jit(lambda z: cae_decoder_apply(
             state.dec_params, state.dec_state, z)[0])
         reporting.plot_img_latent_space(
-            decode, ctx.run.reports_dir, w=int(cfg.data.image_size))
+            decode, ctx.run.general_dir, w=int(cfg.data.image_size))
         reporting.plot_latent_space(emb, np.asarray(ds.labels),
-                                    ctx.run.reports_dir, dataset="Training")
+                                    ctx.run.general_dir, dataset="Training")
         reporting.plot_latent_space(emb_val, np.asarray(val.labels),
-                                    ctx.run.reports_dir, dataset="Validation")
+                                    ctx.run.general_dir, dataset="Validation")
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cae_training.png")
+    # reference layout: training_plot/train_val_loss.png via the generic
+    # plot_training (cae.py:211 → util_report.py:146-158)
+    reporting.plot_cnn_training(history, ctx.run.plot_dir)
     # img_loss.png recon panel (reference util_cae.py:221/278, rewritten
     # every eval epoch — the final-state panel is the surviving artifact):
     # denoise task → original/noisy/denoised 3-row, reconstruct → 2-row
@@ -133,10 +136,10 @@ def run_cae(ctx: StageContext, epochs: int | None = None):
     if task == "denoising":
         noisy = add_noise(ctx.keys("cae_img_loss"), vis, noise_factor)
         reporting.denoise_panel(vis, np.asarray(noisy), _cae_rec(noisy),
-                                ctx.run.reports_dir / "img_loss.png")
+                                ctx.run.general_dir / "img_loss.png")
     else:
         reporting.recon_panel(vis, _cae_rec(vis),
-                              ctx.run.reports_dir / "img_loss.png")
+                              ctx.run.general_dir / "img_loss.png")
     # timing + history pickles every reference entry writes at exit
     # (cae.py:226-231)
     ctx.run.write_timing({})
@@ -188,10 +191,10 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
     save_encoded_samples_csv(ctx.run.interim_dir / "encoded_samples_valid.csv",
                              emb_te, np.asarray(val.labels))
     if emb.shape[1] == 2:
-        reporting.plot_latent_space(emb, labels, ctx.run.reports_dir,
+        reporting.plot_latent_space(emb, labels, ctx.run.general_dir,
                                     dataset="Training")
         reporting.plot_latent_space(emb_te, np.asarray(val.labels),
-                                    ctx.run.reports_dir, dataset="Validation")
+                                    ctx.run.general_dir, dataset="Validation")
 
     # classifier battery tree (reference classifiers.py:219-239): each
     # class's TEST embeddings through every classifier, counting positive
@@ -208,7 +211,7 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
             activation[int(label)] = (p_te[m] > 0.5).sum(axis=0).tolist()
     reporting.plot_battery_tree(
         activation, list(np.asarray(battery.classes)),
-        ctx.run.reports_dir / "classifier_battery_tree.png")
+        ctx.run.general_dir / "classifier_battery_tree.png")
 
     # per-class error-reject curves on the train-tail validation split
     # (reference classifiers.py:167,178-213: x_valid = h_tr rows[-val_size:])
@@ -223,7 +226,7 @@ def run_classifiers(ctx: StageContext, cae_state=None, cae_model_dir=None):
             y_true = (y_valid == label).astype(int)
             reporting.error_reject_curve(
                 y_true, p_yx[:, ci],
-                ctx.run.reports_dir / f"error_reject_curve_{label}.png",
+                ctx.run.general_dir / f"error_reject_curve_{label}.png",
                 label=int(label),
             )
     return battery
@@ -291,7 +294,10 @@ def run_dcgan(
             # "is" as "inception_score", so it cannot reconstruct this dict
             from gan_discovery_pso_tpu.core.checkpoint import load_pytree
 
-            hist_file = ctx.run.reports_dir / "history_gan.msgpack"
+            hist_file = ctx.run.general_dir / "history_gan.msgpack"
+            if not hist_file.exists():  # runs written before the
+                # reference-layout move kept it at the reports root
+                hist_file = ctx.run.reports_dir / "history_gan.msgpack"
             if hist_file.exists():
                 saved_hist = load_pytree(hist_file)
                 history = {k: [float(v) for v in saved_hist.get(k, [])]
@@ -336,6 +342,14 @@ def run_dcgan(
             best_state = restore_into(state, prev_best["state"])
             best_epoch = int(prev_best.get("epoch", offset))
     fixed_noise_key = ctx.keys("fixed_noise")
+    # fixed 32-noise batch + raw (unrescaled) G forward for the per-epoch
+    # superimage (reference util_dcgan.py:160, util_report_gan.py:50-55)
+    from gan_discovery_pso_tpu.models.dcgan import generator_apply
+
+    fixed_z = jax.random.normal(
+        fixed_noise_key, (32, gdef.z_dim, 1, 1), jnp.float32)
+    raw_sample = jax.jit(
+        lambda gp, gs, z: generator_apply(gp, gs, z, train=False)[0])
     # RNG keyed by ABSOLUTE (epoch, step), not by stateful call counters:
     # a killed-and-resumed run replays the exact tail of the single-shot
     # trajectory (SURVEY §5.3/5.4 deterministic restart; the reference only
@@ -374,19 +388,24 @@ def run_dcgan(
         # last, so the checkpoint epoch never exceeds the recorded history —
         # a kill anywhere in the epoch leaves a state the resume path's
         # truncation reconciles exactly (no lost or duplicated epochs).
-        save_pytree(ctx.run.reports_dir / "history_gan.msgpack",
+        save_pytree(ctx.run.general_dir / "history_gan.msgpack",
                     {k: np.asarray(v, np.float64) for k, v in history.items()})
         ctx.ckpt.save_every_epoch("g", ep, state, loss=history["loss_gen"][-1])
         print(f"[dcgan] epoch {ep}: fid={fid:.3f} is={is_score:.4f} rec={rec:.4f}")
 
         # plots + fixed-noise superimage (reference :272-297); per-batch
         # losses and per-epoch metrics get separate figures/x-axes
-        # (util_report_gan.py:9-45)
-        reporting.plot_gan_training(history, ctx.run.reports_dir)
-        imgs = sampler(state.gen_params, state.gen_state, fixed_noise_key, 32)
-        reporting.image_grid(
-            np.asarray(imgs), ctx.run.reports_dir / f"synthetic_epoch_{ep}.png"
+        # (util_report_gan.py:9-45); curves live in training_plot/, the
+        # superimage in general/, like the reference layout (dcgan.py:138-146)
+        reporting.plot_gan_training(history, ctx.run.plot_dir)
+        # raw tanh output (-1,1) for the superimage — save_synthetic_images
+        # takes generator(fixed_noise)[:16] unrescaled (util_report_gan.py:51)
+        raw = raw_sample(state.gen_params, state.gen_state, fixed_z)
+        reporting.superimage(
+            np.asarray(raw), ctx.run.general_dir / f"synthetic_images_{ep}.png",
+            drange=(-1, 1), cap=16,
         )
+        imgs = sampler(state.gen_params, state.gen_state, fixed_noise_key, 32)
         # real/fake grids to TensorBoard (reference util_dcgan.py:285-297).
         # sampler output is already per-sample rescaled to [0,1]
         # (train/dcgan.py make_sampler); real batches are in drange (-1,1)
@@ -401,14 +420,15 @@ def run_dcgan(
             )
         reporting.plot_posterior_polarization(
             np.asarray(res.p_yx), list(np.asarray(battery.classes)),
-            ctx.run.reports_dir / f"class_polarization_{ep}.png",
+            ctx.run.general_dir / f"class_polarization_{ep}.png",
         )
         # posterior energy/variance hist + kde pairs
-        # (reference util_dcgan.py:268 → util_gan_evaluation.py:167-192)
+        # (reference util_dcgan.py:268 → util_gan_evaluation.py:167-192,
+        # written to general_reports_dir)
         reporting.plot_posterior_histograms(
             {"energy": np.asarray(res.energy),
              "variance": np.asarray(res.variance)},
-            ctx.run.reports_dir, ep,
+            ctx.run.general_dir, ep,
         )
 
         # best model by IS, saved ON IMPROVEMENT (reference :279-283) so a
@@ -467,6 +487,7 @@ def assessor_factory(cfg, data_cfg, n_class: int):
             image_channels=data_cfg.channel, n_class=n_class,
             img_size=data_cfg.image_size, kernel=int(net.get("kernel", 3)),
             padding=pad, iid_classes=iid,
+            activation=str(net.get("cnn_activation", "LeakyReLU")),
         )
         return mdef, (lambda k, d, init: alexnet_init(k, d, init=init)), alexnet_apply
     raise ValueError(name)
@@ -489,6 +510,8 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
     ds = ctx.dataset("train", drange=(0, 1))
     tr, va = train_val_split(ds, 0.2)
 
+    # reference cnn.py:170 initializes from model_cnn.network.cnn_initializer
+    init_name = str(cfg.model_cnn.get("network", {}).get("cnn_initializer", "glorot_normal"))
     models = {}
     histories = {}
     for label in classes:
@@ -497,11 +520,11 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
             ctx.keys.child(f"cnn_{label}")("init"), rdef, adam,
             ctx.batches(tr, bs), ctx.batches(va, bs, drop_last=False),
             num_epochs=epochs, early_stopping=early, scheduler_patience=patience,
-            label=label, init="glorot_normal", init_fn=init_fn, apply_fn=apply_fn,
+            label=label, init=init_name, init_fn=init_fn, apply_fn=apply_fn,
         )
         ctx.ckpt.save_state_dict(f"model_{label}", {"params": state.params, "state": state.model_state})
         reporting.plot_training_curves(history, ctx.run.reports_dir / f"cnn_{label}.png")
-        reporting.plot_cnn_training(history, ctx.run.reports_dir, label=label)
+        reporting.plot_cnn_training(history, ctx.run.plot_dir, label=label)
         models[label] = state
         histories[label] = history
     ctx.run.write_timing({})  # (reference cnn.py:198-205)
@@ -526,11 +549,14 @@ def run_cnn_multipatient(ctx: StageContext, epochs: int | None = None):
         num_epochs=epochs,
         early_stopping=int(cfg.trainer_cnn.early_stopping),
         scheduler_patience=int(cfg.trainer_cnn.scheduler.patience),
-        label=None, init="glorot_normal", init_fn=init_fn, apply_fn=apply_fn,
+        label=None,
+        # reference cnn_multipatient.py:160 honors network.cnn_initializer
+        init=str(cfg.model_cnn.get("network", {}).get("cnn_initializer", "glorot_normal")),
+        init_fn=init_fn, apply_fn=apply_fn,
     )
     ctx.ckpt.save_state_dict("model", {"params": state.params, "state": state.model_state})
     reporting.plot_training_curves(history, ctx.run.reports_dir / "cnn_multipatient.png")
-    reporting.plot_cnn_training(history, ctx.run.reports_dir)
+    reporting.plot_cnn_training(history, ctx.run.plot_dir)
     ctx.run.write_timing({})  # (reference cnn_multipatient.py:186-193)
     ctx.run.write_overall_history(history)
     return state, rdef
@@ -588,11 +614,12 @@ def _inverter_epoch_viz(ctx, gen_params, gen_state, enc_fwd, phase_sets,
         rec, _ = generator_apply(gen_params, gen_state, enc_fwd(x), train=False)
         reporting.recon_panel(
             np.asarray(x), np.asarray(rec),
-            ctx.run.reports_dir / f"img_loss_{phase}_{epoch}.png")
+            ctx.run.general_dir / f"img_loss_{phase}_{epoch}.png")
     synth, _ = generator_apply(gen_params, gen_state, fixed_noise, train=False)
-    reporting.image_grid(
+    # reference show_gan_images superimage (util_report_inverter.py:100-131)
+    reporting.superimage(
         np.asarray(synth),
-        ctx.run.reports_dir / f"synthetic_images_{epoch}.png", drange=(-1, 1))
+        ctx.run.general_dir / f"synthetic_images_{epoch}.png", drange=(-1, 1))
 
 
 def run_inverter(
@@ -800,7 +827,7 @@ def run_inverter(
         ctx.run.reports_dir / "inverter_training.png")
     # per-phase component figures (reference {phase}_G/D_losses.png)
     for phase in ("train", "val_iid", "val_ood"):
-        reporting.plot_phase_losses(history, ctx.run.reports_dir, phase)
+        reporting.plot_phase_losses(history, ctx.run.plot_dir, phase)
     mw.close()
     ctx.run.write_timing({})  # (reference inverter.py:242-249)
     ctx.run.write_overall_history(history)
@@ -834,9 +861,15 @@ def load_encoder(model_dir: str | Path):
 # ---------------------------------------------------------------------------
 
 
-def run_extractor(ctx: StageContext, enc_params, kind: str = "iid", max_per_class: int = 256):
+def run_extractor(ctx: StageContext, enc_params, kind: str = "iid",
+                  max_per_class: int = 256, gen=None):
     """Batch-encode images per class into pseudo-particle artifacts
-    (reference iid_extractor.py:177-216 — pickles shaped like PSO output)."""
+    (reference iid_extractor.py:177-216 — pickles shaped like PSO output).
+
+    When `gen=(gen_params, gen_state)` is given, also emits the reference's
+    per-class `general/{label}/synthetic_images_{batch}.png` superimages of
+    G(E(x)) (iid_extractor.py:181-199 via show_gan_images; the whole
+    extracted slice decodes as ONE batch here, so batch index is 0)."""
     classes = ctx.data_cfg.iid_classes if kind == "iid" else ctx.data_cfg.ood_classes
     ds = ctx.dataset("train", classes=classes, drange=(-1, 1))
 
@@ -845,11 +878,24 @@ def run_extractor(ctx: StageContext, enc_params, kind: str = "iid", max_per_clas
         z, _ = encoder_apply(enc_params, {}, x)
         return z.reshape(z.shape[0], -1)
 
+    decode = None
+    if gen is not None:
+        from gan_discovery_pso_tpu.models.dcgan import generator_apply
+
+        gp, gs = gen
+        decode = jax.jit(lambda z: generator_apply(
+            gp, gs, z[..., None, None], train=False)[0])
+
     out = {}
     labels = np.asarray(ds.labels)
     for label in classes:
         imgs = ds.images[labels == label][:max_per_class]
         z = np.asarray(encode(imgs))
+        if decode is not None and len(z):
+            d = ctx.run.general_dir / str(label)
+            d.mkdir(parents=True, exist_ok=True)
+            reporting.superimage(np.asarray(decode(jnp.asarray(z))),
+                                 d / "synthetic_images_0.png", drange=(-1, 1))
         # single-"iteration" trajectory: [1, N, d] with zero velocities
         save_particle_histories(
             ctx.run.interim_dir, label, z[None], np.zeros_like(z)[None], kind=kind
@@ -926,7 +972,7 @@ def run_pso_inverter(
         ctx.ckpt.save_state_dict(f"model_{ood_patient}",
                                  {"params": fine_state.params, "state": fine_state.model_state})
         # fine-tune training figures (reference pso_inverter.py:263)
-        reporting.plot_cnn_training(_h, ctx.run.reports_dir, label=ood_patient)
+        reporting.plot_cnn_training(_h, ctx.run.plot_dir, label=ood_patient)
         cnn_history = _h
 
     # --- phase 2: encoder-seeded swarm over the patient's slices
@@ -1024,7 +1070,7 @@ def _regularize_snapshots_and_pickle(ctx, gen_params, gen_state, enc_params,
         gen_params, gen_state, jnp.asarray(z_final[-1:]), train=False)
     for name, img in (("ori", last), ("enc", enc_rec), ("inv", inv_rec)):
         reporting.save_grayscale(
-            ctx.run.reports_dir / f"{name}.png",
+            ctx.run.general_dir / f"{name}.png",
             np.asarray(postprocess_uint8(jnp.asarray(img)))[0, 0])
 
     import pandas as pd
@@ -1067,9 +1113,11 @@ def run_regularize_inverter(ctx: StageContext, gen_params, gen_state, enc_params
             x_rec, _ = generator_apply(
                 gen_params, gen_state, jnp.asarray(z_hist[min(step, len(z_hist) - 1)]),
                 train=False)
-            reporting.image_grid(
+            # reference show_gan_images superimage of the current inversions
+            # (util_inverter.py:622-624)
+            reporting.superimage(
                 np.asarray(x_rec),
-                ctx.run.reports_dir / f"synthetic_images_{step}.png",
+                ctx.run.general_dir / f"synthetic_images_{step}.png",
                 drange=(-1, 1))
     np.savez_compressed(ctx.run.interim_dir / "inverted_z.npz", z=np.asarray(z))
     _regularize_snapshots_and_pickle(ctx, gen_params, gen_state, enc_params,
@@ -1186,7 +1234,7 @@ def run_vqvae(
             xr = np.asarray(recon(st.params, st.model_state, x))
             reporting.recon_panel(
                 np.asarray(x), xr,
-                ctx.run.reports_dir / f"img_loss_{phase}_{epoch + 1}.png")
+                ctx.run.general_dir / f"img_loss_{phase}_{epoch + 1}.png")
         # per-epoch decoder samples from FIXED noise + per-epoch model
         # checkpoint (reference vq_vae.py:234 show_gan_images and :244-245
         # model_{e+1}.pt — the per-epoch file is the resume/inspection
@@ -1196,9 +1244,11 @@ def run_vqvae(
         synth, _ = generator_apply(st.params["decoder"],
                                    st.model_state["decoder"], noise,
                                    train=False)
-        reporting.image_grid(
+        # reference show_gan_images superimage layout (vqvae util_report.py
+        # :36-76, written to general_reports_dir at vq_vae.py:234)
+        reporting.superimage(
             np.asarray(synth),
-            ctx.run.reports_dir / f"synthetic_images_{epoch}.png",
+            ctx.run.general_dir / f"synthetic_images_{epoch}.png",
             drange=(-1, 1))
         ctx.ckpt.save_state_dict(
             f"model_{epoch + 1}",
@@ -1218,9 +1268,7 @@ def run_vqvae(
     reporting.plot_training_curves(history, ctx.run.reports_dir / "vqvae_training.png")
     # per-component figures in the reference layout (utils_vq_vae/
     # util_report.py:13-36 → training_plot/{reconstruction_loss,vq_loss}.png)
-    plot_dir = ctx.run.reports_dir / "training_plot"
-    plot_dir.mkdir(parents=True, exist_ok=True)
-    reporting.plot_vqvae_losses(history, plot_dir)
+    reporting.plot_vqvae_losses(history, ctx.run.plot_dir)
     ctx.run.write_timing({})  # (reference vq_vae.py:247-257)
     # vq_vae.py:256-257 dumps overall_history.pkl too — the reference leaves
     # it an empty dict (history never flows in); we write the real history

@@ -390,3 +390,28 @@ def test_clustering_stage_em_with_ood_overlay(tmp_path):
     assert (plots / "latent_space_ood_1.png").exists()
     assert "ood_assignment" in rc and len(rc["ood_assignment"]) == 6
     assert (ctx.run.reports_dir / "ood_cluster_assignment.json").exists()
+
+
+def test_superimage_reference_layout(tmp_path):
+    """The reference superimage rule (save_synthetic_images,
+    util_report_gan.py:50-87): side = round_half_up(sqrt(N)) =
+    int(ceil(sqrt(N)+0.5)), blank slots are ZERO images in model drange
+    (mid-gray once (-1,1) maps to [0,255]), tiles concatenated unpadded."""
+    assert reporting.round_half_up(np.sqrt(16)) == 5
+    assert reporting.round_half_up(np.sqrt(64)) == 9
+    assert reporting.round_half_up(np.sqrt(32)) == 7
+
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, size=(32, 1, 8, 8)).astype(np.float32)
+    p = reporting.superimage(imgs, tmp_path / "synthetic_images_0.png",
+                             drange=(-1, 1), cap=16)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(p))
+    # 16 capped images -> side 5 -> 40x40 canvas of 8x8 tiles, no padding
+    assert arr.shape == (40, 40)
+    # first tile is the first image rescaled (-1,1) -> (0,255)
+    expect = ((imgs[0, 0] * 0.5 + 0.5) * 255.0 + 0.5).astype(np.uint8)
+    assert np.array_equal(arr[:8, :8], expect)
+    # a blank slot (index 16 of 25, i.e. row 3 col 1) is mid-gray 127/128
+    assert abs(int(arr[3 * 8, 1 * 8]) - 127) <= 1

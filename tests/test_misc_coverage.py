@@ -183,3 +183,44 @@ def test_load_cnn_diagnoses_architecture_mismatch(tmp_path):
     save_pytree(tmp_path / "model.msgpack", {"params": rp, "state": rs})
     with pytest.raises(ValueError, match="ResNet checkpoint"):
         load_cnn(tmp_path, AlexNetDef(image_channels=1, n_class=2))
+
+
+def test_alexnet_activation_and_initializer_config():
+    """get_activation / get_initializer config options (reference
+    util_cnn.py:48-79): cnn_activation ReLU vs LeakyReLU changes the
+    forward; unknown names raise like the reference's ValueError; the
+    assessor factory plumbs model_cnn.network.cnn_activation."""
+    import pytest
+
+    from gan_discovery_pso_tpu.core.config import Config
+    from gan_discovery_pso_tpu.models import AlexNetDef, alexnet_init
+    from gan_discovery_pso_tpu.models.resnet import alexnet_apply
+    from gan_discovery_pso_tpu.pipelines.stages import assessor_factory
+
+    d_leaky = AlexNetDef(image_channels=1, n_class=2, img_size=28, padding=1)
+    d_relu = d_leaky._replace(activation="ReLU")
+    params, state = alexnet_init(jax.random.key(0), d_leaky)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 28, 28), jnp.float32)
+    y_leaky, _ = alexnet_apply(params, state, x, d_leaky)
+    y_relu, _ = alexnet_apply(params, state, x, d_relu)
+    assert not np.allclose(np.asarray(y_leaky), np.asarray(y_relu))
+    with pytest.raises(ValueError):
+        alexnet_apply(params, state, x, d_leaky._replace(activation="GELU"))
+
+    cfg = Config({
+        "model_cnn": {"model_name": "AlexNet",
+                      "network": {"kernel": 3, "padding": "valid",
+                                  "cnn_activation": "ReLU",
+                                  "cnn_initializer": "he_normal"}},
+    })
+
+    class _D:
+        channel = 1
+        image_size = 28
+        iid_classes = (0, 1)
+
+    mdef, init_fn, apply_fn = assessor_factory(cfg, _D, 2)
+    assert mdef.activation == "ReLU"
+    # the init_fn honors the initializer name end-to-end
+    p2, _ = init_fn(jax.random.key(1), mdef, "he_normal")
+    assert p2["conv1"]["w"].shape == params["conv1"]["w"].shape

@@ -197,3 +197,41 @@ def test_shardmap_optimize_early_stop_matches_single_device():
     np.testing.assert_allclose(
         float(out["g_best_val"]), float(ref_final.g_best_val), rtol=1e-4, atol=1e-6
     )
+
+
+def test_batched_sharded_discovery_2d_mesh_matches_batched():
+    """2-D mesh (class x swarm) batched discovery: every class row must
+    match the single-device flagship batched runner (pso/runner.py) with the
+    same keys to fp32-reassociation tolerance, particle arrays sharded over
+    both axes, per-class scalars over the class axis only."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.parallel import (
+        make_batched_sharded_discovery_runner,
+        make_mesh_2d,
+    )
+    from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=4, n_particles=8, dim_space=8)
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(8, 1, 8))
+    rp, rs = resnet_init(jax.random.key(1), rdef, init="glorot_normal")
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    keys = jnp.stack([jax.random.key(5), jax.random.key(6)])
+
+    ref = make_batched_discovery_runner(rdef, hp)
+    rf, rh, ri = ref(keys, gp, gs, rp, rs, idxs)
+
+    mesh = make_mesh_2d((2, 4), ("class", "swarm"))
+    run = make_batched_sharded_discovery_runner(mesh, rdef, hp)
+    sf, sh_, si = run(keys, gp, gs, rp, rs, idxs)
+
+    # particle arrays land on all 8 devices; per-class scalars on 2 shards
+    assert len(sf.positions.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(ri.positions), np.asarray(si.positions))
+    np.testing.assert_allclose(np.asarray(rf.g_best_val),
+                               np.asarray(sf.g_best_val), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rh.g_best_val),
+                               np.asarray(sh_.g_best_val), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rf.positions),
+                               np.asarray(sf.positions), rtol=5e-2, atol=5e-3)

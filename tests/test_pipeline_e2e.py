@@ -80,13 +80,13 @@ def artifacts(roots):
     ctx = _ctx(roots, "cae")
     cae_state, cae_hist = run_cae(ctx, epochs=1)
     # denoise recon panel (reference util_cae.py:221 → img_loss.png)
-    assert (ctx.run.reports_dir / "img_loss.png").exists()
+    assert (ctx.run.reports_dir / "general" / "img_loss.png").exists()
     out["cae"] = (ctx, cae_state, cae_hist)
 
     ctx2 = _ctx(roots, "classifiers")
     battery = run_classifiers(ctx2, cae_state=cae_state)
     # battery-tree + embeddings artifacts (reference classifiers.py:150-239)
-    assert (ctx2.run.reports_dir / "classifier_battery_tree.png").exists()
+    assert (ctx2.run.reports_dir / "general" / "classifier_battery_tree.png").exists()
     assert (ctx2.run.interim_dir / "encoded_samples_train.csv").exists()
     assert (ctx2.run.interim_dir / "encoded_samples_valid.csv").exists()
     out["classifiers"] = (ctx2, battery)
@@ -133,7 +133,7 @@ def test_classifier_stage_artifacts(artifacts):
     assert battery.k == 5
     # one reliability error-reject curve PER battery class (:186-213)
     for label in np.asarray(battery.classes):
-        assert (ctx.run.reports_dir / f"error_reject_curve_{label}.png").exists()
+        assert (ctx.run.reports_dir / "general" / f"error_reject_curve_{label}.png").exists()
     assert set(np.asarray(battery.classes)).issubset({0, 2, 3, 4, 6, 7, 8, 9})
 
 
@@ -145,10 +145,11 @@ def test_dcgan_stage_artifacts(artifacts):
     assert len(hist["is"]) == 1
     # per-batch losses and per-epoch metrics on separate axes
     # (reference util_report_gan.py:9-45)
-    assert (ctx.run.reports_dir / "train_loss.png").exists()
-    assert (ctx.run.reports_dir / "fid.png").exists()
-    assert (ctx.run.reports_dir / "is.png").exists()
-    assert (ctx.run.reports_dir / "synthetic_epoch_0.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "train_loss.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "fid.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "is.png").exists()
+    # reference superimage name/location (util_report_gan.py:50-87)
+    assert (ctx.run.reports_dir / "general" / "synthetic_images_0.png").exists()
     # reload roundtrip
     from gan_discovery_pso_tpu.pipelines import load_gan
 
@@ -263,8 +264,8 @@ def test_inverter_stage_artifacts(artifacts):
     # per-epoch visuals (reference util_inverter.py:259,280): phase recon
     # panels + fixed-noise sample grid
     for phase in ("train", "val_iid", "val_ood"):
-        assert (ctx.run.reports_dir / f"img_loss_{phase}_0.png").exists()
-    assert (ctx.run.reports_dir / "synthetic_images_0.png").exists()
+        assert (ctx.run.reports_dir / "general" / f"img_loss_{phase}_0.png").exists()
+    assert (ctx.run.reports_dir / "general" / "synthetic_images_0.png").exists()
 
 
 def test_extractor_pso_inverter_and_regularize(roots, artifacts):
@@ -298,7 +299,7 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     # (reference pso_inverter.py:263,326-346)
     assert (ctxP.run.reports_dir / "general" / "1" / "pso_iter.png").exists()
     assert (ctxP.run.reports_dir / "general" / "1" / "mean_mse.png").exists()
-    assert (ctxP.run.reports_dir / "train_val_loss_1.png").exists()
+    assert (ctxP.run.reports_dir / "training_plot" / "train_val_loss_1.png").exists()
     assert (ctxP.run.reports_dir / "training_plot" / "1" / "pso_images_1.png").exists()
     assert (ctxP.run.reports_dir / "training_plot" / "1" / "iid_img.gif").exists()
     assert list((ctxP.run.reports_dir / "training_plot" / "1").glob("pso_dim_*.png"))
@@ -315,12 +316,12 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     assert (ctxR.run.interim_dir / "inverted_z.npz").exists()
     # reference synthetic_images_{step}.png snapshots (util_inverter:622-624)
     for step in (0, 5, 10):
-        assert (ctxR.run.reports_dir / f"synthetic_images_{step}.png").exists()
+        assert (ctxR.run.reports_dir / "general" / f"synthetic_images_{step}.png").exists()
     assert "z" not in hist  # vis latents are consumed, not leaked
     # last-image ori/enc/inv triptych + inverted-latent DataFrame pickle
     # (reference regularize_inverter.py:171-190)
     for name in ("ori", "enc", "inv"):
-        assert (ctxR.run.reports_dir / f"{name}.png").exists()
+        assert (ctxR.run.reports_dir / "general" / f"{name}.png").exists()
     import pickle
 
     with open(ctxR.run.interim_dir / "particles_position_ood.pkl", "rb") as f:
@@ -336,7 +337,7 @@ def test_extractor_pso_inverter_and_regularize(roots, artifacts):
     )
     assert (ctxS.run.interim_dir / "inverted_bn_z.npz").exists()
     assert (ctxS.run.interim_dir / "particles_position_ood.pkl").exists()
-    assert (ctxS.run.reports_dir / "inv.png").exists()
+    assert (ctxS.run.reports_dir / "general" / "inv.png").exists()
     # per-image weight vectors over the 2 classes (reference runs B=1 with
     # fresh weights per image)
     assert w.shape == (2, 2)
@@ -373,8 +374,8 @@ def test_vqvae_and_analyses(roots, artifacts):
     # per-epoch recon panels + end-of-training decoder samples (reference
     # vq_vae.py:221-227,234)
     for phase in ("train", "val_iid", "val_ood"):
-        assert (ctxV.run.reports_dir / f"img_loss_{phase}_1.png").exists()
-    assert (ctxV.run.reports_dir / "synthetic_images_0.png").exists()
+        assert (ctxV.run.reports_dir / "general" / f"img_loss_{phase}_1.png").exists()
+    assert (ctxV.run.reports_dir / "general" / "synthetic_images_0.png").exists()
     # per-epoch model checkpoint (reference vq_vae.py:244-245 model_{e+1}.pt)
     assert (ctxV.run.models_dir / "model_1.msgpack").exists()
     # per-component loss figures (reference utils_vq_vae/util_report.py:13-36)
@@ -566,7 +567,7 @@ def test_dcgan_resume_reconciles_history_ahead_of_checkpoint(roots, artifacts):
     run_dcgan(ctxA, cae_state, battery, epochs=1, n_synthetic=64)
     # simulate the kill window: the history artifact gained epoch 1 but the
     # checkpoint still says epoch 0
-    hist_file = ctxA.run.reports_dir / "history_gan.msgpack"
+    hist_file = ctxA.run.reports_dir / "general" / "history_gan.msgpack"
     h = {k: np.asarray(v) for k, v in load_pytree(hist_file).items()}
     steps = len(h["loss_gen"])
     save_pytree(hist_file, {k: np.concatenate([v, v]) for k, v in h.items()})
@@ -747,6 +748,6 @@ def test_inverter_pix_fea_rec_adv_pipeline(roots, artifacts):
     for k in ("train_loss_enc_adv", "train_loss_disc_r1penalty",
               "val_iid_loss_enc_rec_fea"):
         assert k in hist and len(hist[k]) == 2
-    assert (ctx.run.reports_dir / "train_G_losses.png").exists()
-    assert (ctx.run.reports_dir / "train_D_losses.png").exists()
-    assert (ctx.run.reports_dir / "val_iid_G_losses.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "train_G_losses.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "train_D_losses.png").exists()
+    assert (ctx.run.reports_dir / "training_plot" / "val_iid_G_losses.png").exists()
