@@ -318,6 +318,38 @@ def measure_tpu() -> dict:
     except Exception as e:
         log(f"throughput-mode secondary skipped: {e!r}")
 
+    gan_imgs = None
+    try:
+        # training throughput: the reference's DCGAN workload (batch 128,
+        # fused D+G adversarial step incl. label smoothing, util_dcgan.py
+        # :184-223 / configs/dcgan_mnist.yaml:181-193), steps pipelined and
+        # barriered by a real metric transfer like the headline
+        from gan_discovery_pso_tpu.models import DiscriminatorDef
+        from gan_discovery_pso_tpu.train import gan_init, make_gan_train_step
+
+        from gan_discovery_pso_tpu.core.config import AdamConfig
+
+        adam = AdamConfig(lr=1e-3, beta1=0.5, beta2=0.99)
+        gdef = GeneratorDef(z_dim=DIM)
+        # gan_init already jits its fused init program internally
+        gstate, _tx = gan_init(keys("gan"), gdef, DiscriminatorDef(), adam)
+        step = jax.jit(make_gan_train_step(gdef, adam))
+        bs_gan = 128
+        real = jax.random.uniform(keys("gan_real"), (bs_gan, 1, 28, 28),
+                                  jnp.float32, -1.0, 1.0)
+        with fast_math():
+            st, metrics = step(gstate, real, keys("gan_step"))
+        np.asarray(metrics["loss_gen"])  # real-transfer barrier
+        n_steps = 30
+        t0 = time.time()
+        for i in range(n_steps):
+            st, metrics = step(st, real, jax.random.key(i))
+        np.asarray(metrics["loss_gen"])  # in-order queue: one-RTT barrier
+        gan_imgs = bs_gan * n_steps / (time.time() - t0)
+        log(f"dcgan fused train step (batch {bs_gan}): {gan_imgs:.0f} imgs/s")
+    except Exception as e:
+        log(f"gan train-step secondary skipped: {e!r}")
+
     single32 = None
     try:
         # continuity metric: the r01-style fp32 single-swarm workload
@@ -348,6 +380,7 @@ def measure_tpu() -> dict:
         "fp32_single_swarm_evals_per_sec": single32,
         "bf16_throughput_mode_evals_per_sec": tp_evals,
         "throughput_mode_mfu": tp_mfu,
+        "dcgan_train_imgs_per_sec": gan_imgs,
     }
 
 
@@ -419,6 +452,7 @@ def main():
                 "bf16_throughput_mode_evals_per_sec": _rnd(
                     r["bf16_throughput_mode_evals_per_sec"]),
                 "throughput_mode_mfu": _rnd(r["throughput_mode_mfu"], 4),
+                "dcgan_train_imgs_per_sec": _rnd(r["dcgan_train_imgs_per_sec"]),
             }
         )
     )

@@ -529,6 +529,44 @@ def run_cnn(ctx: StageContext, epochs: int | None = None, classes=None):
         histories[label] = history
     ctx.run.write_timing({})  # (reference cnn.py:198-205)
     ctx.run.write_overall_history(histories)
+
+    # --- evaluation phase (reference cnn.py:211-246): each class's POSITIVE
+    # validation slices go through EVERY battery member; the line per class
+    # plots how many each classifier flags positive (argmax==1). The
+    # reference loops classifiers on the host; all battery members share
+    # shapes here, so ONE vmapped jitted forward over tree-stacked params
+    # evaluates the whole battery per chunk.
+    params_stack = jax.tree.map(
+        lambda *x: jnp.stack(x), *[models[l].params for l in classes])
+    state_stack = jax.tree.map(
+        lambda *x: jnp.stack(x), *[models[l].model_state for l in classes])
+    # the factory returns apply_fn=None for the default ResNet assessor
+    # (train_cnn resolves it the same way)
+    from gan_discovery_pso_tpu.models import resnet_apply
+
+    eval_apply = apply_fn if apply_fn is not None else resnet_apply
+
+    @jax.jit
+    def battery_positive(ps, ss, x):
+        def one(p, s):
+            logits, _ = eval_apply(p, s, x, rdef, train=False)
+            return jnp.argmax(logits, axis=1)  # torch.max(output,1) preds
+
+        return jax.vmap(one)(ps, ss)  # [n_classifiers, n_images]
+
+    va_labels = np.asarray(va.labels)
+    activation = {}
+    for label in classes:
+        x_pos = va.images[va_labels == label]
+        counts = np.zeros(len(classes), np.int64)
+        for i in range(0, x_pos.shape[0], 256):  # bound vmapped activations
+            counts += np.asarray(
+                battery_positive(params_stack, state_stack,
+                                 x_pos[i:i + 256])).sum(axis=1)
+        activation[int(label)] = counts.tolist()
+    reporting.plot_battery_tree(
+        activation, list(classes),
+        ctx.run.general_dir / "classifier_battery_tree.png")
     return models
 
 

@@ -520,10 +520,13 @@ def test_cnn_per_class_battery(roots):
     from gan_discovery_pso_tpu.pipelines import run_cnn
 
     ctx = _ctx(roots, "cnn")
-    models = run_cnn(ctx, epochs=1, classes=(0,))
-    assert set(models) == {0}
+    models = run_cnn(ctx, epochs=1, classes=(0, 2))
+    assert set(models) == {0, 2}
     assert (ctx.run.models_dir / "model_0.msgpack").exists()
     assert (ctx.run.reports_dir / "cnn_0.png").exists()
+    # evaluation-phase battery tree: every class's positive val slices
+    # through every battery member (reference cnn.py:211-246)
+    assert (ctx.run.reports_dir / "general" / "classifier_battery_tree.png").exists()
     # reload as binary assessor
     from gan_discovery_pso_tpu.models import ResNetDef, resnet_apply
     from gan_discovery_pso_tpu.pipelines import load_cnn
