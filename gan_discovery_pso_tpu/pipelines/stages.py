@@ -689,11 +689,11 @@ def run_inverter(
     history: dict = {}
     mw = ctx.metrics("history_inverter")
 
-    if variant == "attgan":
-        # AttGAN-style stateful encoder (reference util_inverter.py:142-162);
-        # pix_rec path only (matching the reference's actually-run config)
-        if training_fun != "pix_rec":
-            raise NotImplementedError("attgan encoder supports pix_rec only")
+    if variant == "attgan" and training_fun == "pix_rec":
+        # AttGAN-style stateful encoder (reference util_inverter.py:142-162).
+        # The pix_fea_rec_adv combination (the reference's train-fn dispatch
+        # is encoder-agnostic, util_inverter.py:31-87) shares the adversarial
+        # loop below via make_pix_fea_rec_adv_step_stateful.
         from gan_discovery_pso_tpu.models import (
             EncoderAttGANDef,
             encoder_attgan_apply,
@@ -747,9 +747,14 @@ def run_inverter(
         ctx.run.write_overall_history(history)
         return best_params, history
 
-    enc_params, _ = jit_init(
-        encoder_init, EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
-    )(ctx.keys("enc"))
+    if variant != "attgan":
+        enc_params, _ = jit_init(
+            encoder_init, EncoderDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+        )(ctx.keys("enc"))
+    elif training_fun != "pix_fea_rec_adv":
+        raise ValueError(
+            f"encoder_variant=attgan supports training_function pix_rec or "
+            f"pix_fea_rec_adv, not {training_fun!r}")
 
     if training_fun == "pix_rec":
         state = PixRecState(enc_params, tx.init(enc_params), jnp.asarray(0, jnp.int32))
@@ -794,14 +799,52 @@ def run_inverter(
             DiscriminatorDef(ctx.data_cfg.channel, int(cfg.model_inverter.D_network.units_disc)),
         )
         adam_d = AdamConfig.from_config(cfg.trainer_inverter.discriminator_optimizer)
-        state = PixFeaRecAdvState(
-            enc_params, disc_params, tx.init(enc_params),
-            make_optimizer(adam_d).init(disc_params), jnp.asarray(0, jnp.int32),
-        )
-        train_step, eval_step = make_pix_fea_rec_adv_step(
-            gen_params, gen_state, cnn_params, cnn_state, cnn_def, adam, adam_d
-        )
-        best, best_params = np.inf, state.enc_params
+        if variant == "attgan":
+            from gan_discovery_pso_tpu.models import (
+                EncoderAttGANDef,
+                encoder_attgan_apply,
+                encoder_attgan_init,
+            )
+            from gan_discovery_pso_tpu.train.inverter import (
+                PixFeaRecAdvStatefulState,
+                make_pix_fea_rec_adv_step_stateful,
+            )
+
+            adef = EncoderAttGANDef(enc_dim=latent, channels_img=ctx.data_cfg.channel)
+            aep, aes = jit_init(encoder_attgan_init, adef)(ctx.keys("enc"))
+            enc_apply_fn = (
+                lambda p, st, x, train: encoder_attgan_apply(p, st, x, train=train))
+            state = PixFeaRecAdvStatefulState(
+                aep, aes, disc_params, tx.init(aep),
+                make_optimizer(adam_d).init(disc_params), jnp.asarray(0, jnp.int32),
+            )
+            train_step, eval_step = make_pix_fea_rec_adv_step_stateful(
+                gen_params, gen_state, cnn_params, cnn_state, cnn_def, adam,
+                adam_d, enc_apply_fn)
+
+            def enc_snapshot(st):
+                return (st.enc_params, st.enc_state)
+
+            def enc_viz(st):
+                return lambda x: enc_apply_fn(st.enc_params, st.enc_state, x, False)[0]
+        else:
+            from gan_discovery_pso_tpu.models.encoder import encoder_forward
+
+            state = PixFeaRecAdvState(
+                enc_params, disc_params, tx.init(enc_params),
+                make_optimizer(adam_d).init(disc_params), jnp.asarray(0, jnp.int32),
+            )
+            train_step, eval_step = make_pix_fea_rec_adv_step(
+                gen_params, gen_state, cnn_params, cnn_state, cnn_def, adam, adam_d
+            )
+
+            def enc_snapshot(st):
+                return st.enc_params
+
+            def enc_viz(st):
+                return lambda x, p=st.enc_params: encoder_forward(p, x)
+
+        best, best_params = np.inf, enc_snapshot(state)
         for epoch in range(epochs):
             tr_metrics = []
             for x, _y in ctx.batches(iid, bs)(epoch):
@@ -844,19 +887,21 @@ def run_inverter(
             # the train loss so random-init weights are never "best"
             sel = vi_pixfea if np.isfinite(vi_pixfea) else tr_loss
             if sel < best:  # best by val_iid pix+fea (reference :470-475)
-                best, best_params = sel, state.enc_params
+                best, best_params = sel, enc_snapshot(state)
             if viz_every and epoch % viz_every == 0:
-                from gan_discovery_pso_tpu.models.encoder import encoder_forward
-
                 _inverter_epoch_viz(
-                    ctx, gen_params, gen_state,
-                    lambda x, p=state.enc_params: encoder_forward(p, x),
+                    ctx, gen_params, gen_state, enc_viz(state),
                     phase_sets, epoch, fixed_noise)
         enc_final = best_params
     else:
         raise ValueError(training_fun)
 
-    ctx.ckpt.save_state_dict("encoder", {"params": enc_final})
+    if variant == "attgan":
+        enc_p, enc_s = enc_final
+        ctx.ckpt.save_state_dict(
+            "encoder", {"params": enc_p, "state": enc_s, "variant": "attgan"})
+    else:
+        ctx.ckpt.save_state_dict("encoder", {"params": enc_final})
     summary_keys = ("train_loss", "val_iid_loss", "val_ood_loss",
                     "train_loss_enc", "val_iid_loss_enc", "val_ood_loss_enc",
                     "val_iid_pixfea", "val_ood_pixfea")

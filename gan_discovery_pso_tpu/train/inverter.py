@@ -251,6 +251,133 @@ def make_pix_fea_rec_adv_step(
     return train_step, eval_step
 
 
+class PixFeaRecAdvStatefulState(NamedTuple):
+    enc_params: dict
+    enc_state: dict
+    disc_params: dict
+    opt_e: optax.OptState
+    opt_d: optax.OptState
+    step: jax.Array
+
+
+def make_pix_fea_rec_adv_step_stateful(
+    gen_params,
+    gen_state,
+    cnn_params,
+    cnn_state,
+    cnn_def: ResNetDef,
+    adam_e: AdamConfig,
+    adam_d: AdamConfig,
+    enc_apply,
+    w_rec: float = 1.0,
+    w_fea: float = 1.0,
+    w_adv: float = 0.1,
+    r1_gamma: float = 10.0,
+    label_smoothing: bool = True,
+):
+    """pix_fea_rec_adv for encoders WITH internal state — the AttGAN
+    variant's BatchNorm stack. The reference's train-fn dispatch is
+    encoder-agnostic (util_inverter.py:31-87 with Encoder_AttGAN at
+    :142-162), so this combination is legal there; here it threads the
+    encoder BN state through the adversarial step.
+
+    enc_apply(params, state, x, train) -> (z [N,z,1,1], new_state).
+
+    BN-state discipline matches the reference's single E forward per batch
+    (util_inverter.py:371-373): the train-mode encoder forward runs ONCE per
+    step for state purposes; the E-loss gradient re-evaluates the identical
+    forward from the same pre-step state (same math, same new state)."""
+    tx_e, tx_d = make_optimizer(adam_e), make_optimizer(adam_d)
+
+    def features(x):
+        return resnet_features(cnn_params, cnn_state, x, cnn_def)
+
+    @jax.jit
+    def train_step(state: PixFeaRecAdvStatefulState, real, key):
+        bs = real.shape[0]
+        kp, kn = jax.random.split(key)
+        if label_smoothing:
+            y_real = smooth_positive(kp, (bs,))
+            y_fake = smooth_negative(kn, (bs,))
+        else:
+            y_real = jnp.ones((bs,), jnp.float32)
+            y_fake = jnp.zeros((bs,), jnp.float32)
+
+        z_const, _ = enc_apply(state.enc_params, state.enc_state, real, True)
+        fake_const = jax.lax.stop_gradient(_decode(gen_params, gen_state, z_const))
+
+        # --- D step with R1 (reference :383-397)
+        def d_loss_fn(dp):
+            l_adv = (
+                bce_from_logits(discriminator_logits(dp, real), y_real)
+                + bce_from_logits(discriminator_logits(dp, fake_const), y_fake)
+            ) / 2.0
+            l_r1 = r1_penalty(dp, real) * (r1_gamma * 0.5)
+            return l_adv + l_r1, (l_adv, l_r1)
+
+        (loss_d, (loss_d_adv, loss_d_r1)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.disc_params)
+        d_up, new_opt_d = tx_d.update(d_grads, state.opt_d, state.disc_params)
+        new_disc = optax.apply_updates(state.disc_params, d_up)
+
+        # --- E step against the updated D (reference :399-420)
+        feat_real = features(real)
+
+        def e_loss_fn(ep):
+            z, new_es = enc_apply(ep, state.enc_state, real, True)
+            fake_e = _decode(gen_params, gen_state, z)
+            l_pix = w_rec * jnp.mean((fake_e - real) ** 2)
+            l_fea = w_fea * jnp.mean((features(fake_e) - feat_real) ** 2)
+            l_adv = w_adv * bce_from_logits(
+                discriminator_logits(new_disc, fake_e), y_real)
+            return l_pix + l_fea + l_adv, (l_pix, l_fea, l_adv, new_es)
+
+        (loss_e, (l_pix, l_fea, l_adv, new_es)), e_grads = jax.value_and_grad(
+            e_loss_fn, has_aux=True
+        )(state.enc_params)
+        e_up, new_opt_e = tx_e.update(e_grads, state.opt_e, state.enc_params)
+        new_enc = optax.apply_updates(state.enc_params, e_up)
+
+        metrics = {
+            "loss_disc": loss_d,
+            "loss_disc_adv": loss_d_adv,
+            "loss_disc_r1penalty": loss_d_r1,
+            "loss_enc": loss_e,
+            "loss_enc_rec_pix": l_pix,
+            "loss_enc_rec_fea": l_fea,
+            "loss_enc_adv": l_adv,
+        }
+        return (
+            PixFeaRecAdvStatefulState(
+                new_enc, new_es, new_disc, new_opt_e, new_opt_d, state.step + 1
+            ),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: PixFeaRecAdvStatefulState, real, key):
+        bs = real.shape[0]
+        if label_smoothing:
+            y_real = smooth_positive(key, (bs,))
+        else:
+            y_real = jnp.ones((bs,), jnp.float32)
+        z, _ = enc_apply(state.enc_params, state.enc_state, real, False)
+        fake = _decode(gen_params, gen_state, z)
+        l_pix = w_rec * jnp.mean((fake - real) ** 2)
+        l_fea = w_fea * jnp.mean((features(fake) - features(real)) ** 2)
+        l_adv = w_adv * bce_from_logits(
+            discriminator_logits(state.disc_params, fake), y_real)
+        return {
+            "loss_enc_rec_pix": l_pix,
+            "loss_enc_rec_fea": l_fea,
+            "loss_enc_adv": l_adv,
+            "loss_enc": l_pix + l_fea + l_adv,
+        }
+
+    return train_step, eval_step
+
+
 # ---------------------------------------------------------------------------
 # gradient-descent inversion
 # ---------------------------------------------------------------------------

@@ -670,14 +670,30 @@ def test_inverter_attgan_variant(roots, artifacts):
     saved = load_pytree(ctx.run.models_dir / "encoder.msgpack")
     assert saved["variant"] == "attgan"
 
-    # non-pix_rec with attgan is rejected
-    import pytest as _pytest
-
-    ctx2 = _ctx(roots, "inverter_attgan_bad", extra={
+    # the adversarial combination trains end-to-end too (the reference's
+    # train-fn dispatch is encoder-agnostic, util_inverter.py:31-87)
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+    ctx2 = _ctx(roots, "inverter_attgan_adv", extra={
         "model_inverter.encoder_variant": "attgan",
         "trainer_inverter.training_function": "pix_fea_rec_adv"})
-    with _pytest.raises(NotImplementedError):
-        run_inverter(ctx2, gan_state.gen_params, gan_state.gen_state, epochs=1)
+    _enc2, hist2 = run_inverter(
+        ctx2, gan_state.gen_params, gan_state.gen_state,
+        cnn=(cnn_state.params, cnn_state.model_state, rdef), epochs=2)
+    for k in ("train_loss_enc", "val_iid_pixfea", "val_ood_pixfea"):
+        assert k in hist2 and len(hist2[k]) == 2
+        assert all(np.isfinite(v) for v in hist2[k]), k
+    saved2 = load_pytree(ctx2.run.models_dir / "encoder.msgpack")
+    assert saved2["variant"] == "attgan"
+    assert "state" in saved2  # BN running stats travel with the checkpoint
+
+    # an unknown training_function with attgan is rejected with a diagnosis
+    import pytest as _pytest
+
+    ctx3 = _ctx(roots, "inverter_attgan_bad", extra={
+        "model_inverter.encoder_variant": "attgan",
+        "trainer_inverter.training_function": "bogus"})
+    with _pytest.raises(ValueError):
+        run_inverter(ctx3, gan_state.gen_params, gan_state.gen_state, epochs=1)
 
 
 def test_pixelcnn_prior_stage(roots):

@@ -124,6 +124,136 @@ def test_pix_fea_rec_adv_step_runs_and_reports():
     assert np.isfinite(float(em["loss_enc"]))
 
 
+def test_pix_fea_rec_adv_stateful_matches_plain_for_stateless_encoder():
+    """make_pix_fea_rec_adv_step_stateful with the plain (state-free) encoder
+    must reproduce make_pix_fea_rec_adv_step exactly: same metrics, same
+    updated encoder params — the stateful path only ADDS state threading."""
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(4), gdef, dcgan_init=False)
+    ep, _ = encoder_init(jax.random.key(5), EncoderDef(enc_dim=8, features_e=8))
+    dp, _ = discriminator_init(jax.random.key(6), DiscriminatorDef(features_d=8))
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    rp, rs = resnet_init(jax.random.key(7), rdef, init="glorot_normal")
+
+    from gan_discovery_pso_tpu.models.encoder import encoder_apply
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+    from gan_discovery_pso_tpu.train.inverter import (
+        PixFeaRecAdvState,
+        PixFeaRecAdvStatefulState,
+        make_pix_fea_rec_adv_step_stateful,
+    )
+
+    tx = make_optimizer(ADAM)
+    plain = PixFeaRecAdvState(ep, dp, tx.init(ep), tx.init(dp),
+                              jnp.asarray(0, jnp.int32))
+    stateful = PixFeaRecAdvStatefulState(ep, {}, dp, tx.init(ep), tx.init(dp),
+                                         jnp.asarray(0, jnp.int32))
+    step_p, eval_p = make_pix_fea_rec_adv_step(gp, gs, rp, rs, rdef, ADAM, ADAM)
+    step_s, eval_s = make_pix_fea_rec_adv_step_stateful(
+        gp, gs, rp, rs, rdef, ADAM, ADAM,
+        lambda p, st, x, train: encoder_apply(p, st, x, train=train))
+
+    real = jnp.asarray(np.random.RandomState(8).rand(4, 1, 28, 28) * 2 - 1,
+                       jnp.float32)
+    key = jax.random.key(8)
+    for _ in range(3):
+        plain, mp = step_p(plain, real, key)
+        stateful, ms = step_s(stateful, real, key)
+    for k in mp:
+        np.testing.assert_allclose(float(mp[k]), float(ms[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree.leaves(plain.enc_params),
+                    jax.tree.leaves(stateful.enc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    emp = eval_p(plain, real, jax.random.key(9))
+    ems = eval_s(stateful, real, jax.random.key(9))
+    np.testing.assert_allclose(float(emp["loss_enc"]), float(ems["loss_enc"]),
+                               rtol=1e-5)
+
+
+def test_pix_fea_rec_adv_attgan_bn_state_and_torch_parity():
+    """The AttGAN encoder through the adversarial step (reference dispatch is
+    encoder-agnostic, util_inverter.py:31-87 + Encoder_AttGAN :142-162):
+    BN running stats update exactly ONCE per step from the pre-step
+    params/state, and the train-mode forward + its parameter gradient match
+    a torch twin (Conv2d bias=False → BatchNorm2d → ReLU stack)."""
+    from gan_discovery_pso_tpu.models import (
+        EncoderAttGANDef,
+        encoder_attgan_apply,
+        encoder_attgan_init,
+    )
+    from gan_discovery_pso_tpu.train.common import make_optimizer
+    from gan_discovery_pso_tpu.train.inverter import (
+        PixFeaRecAdvStatefulState,
+        make_pix_fea_rec_adv_step_stateful,
+    )
+
+    adef = EncoderAttGANDef(enc_dim=8, channels_img=1, features_e=8)
+    aep, aes = encoder_attgan_init(jax.random.key(30), adef)
+    real = jnp.asarray(np.random.RandomState(31).rand(4, 1, 28, 28) * 2 - 1,
+                       jnp.float32)
+
+    # --- torch twin: train-mode forward, running stats, and grad parity
+    blocks = []
+    n_in = 1
+    for i in range(4):
+        n_out = min(8 * 2**i, 8)
+        conv = tnn.Conv2d(n_in, n_out, 4, 2, 1, bias=False)
+        bn = tnn.BatchNorm2d(n_out)
+        with torch.no_grad():
+            conv.weight.copy_(t(aep[f"conv{i}"]["w"]))
+            bn.weight.copy_(t(aep[f"bn{i}"]["scale"]))
+            bn.bias.copy_(t(aep[f"bn{i}"]["bias"]))
+        blocks += [conv, bn, tnn.ReLU()]
+        n_in = n_out
+    twin = tnn.Sequential(*blocks).train()
+
+    z_jax, new_state = encoder_attgan_apply(aep, aes, real, train=True)
+    z_torch = twin(t(real))
+    np.testing.assert_allclose(np.asarray(z_jax), z_torch.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # running stats after one train-mode forward
+    for i, bn in enumerate(blocks[1::3]):
+        np.testing.assert_allclose(np.asarray(new_state[f"bn{i}"].mean),
+                                   bn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_state[f"bn{i}"].var),
+                                   bn.running_var.numpy(), rtol=1e-4, atol=1e-6)
+    # gradient through train-mode BN
+    jg = jax.grad(
+        lambda p: jnp.mean(encoder_attgan_apply(p, aes, real, train=True)[0] ** 2)
+    )(aep)
+    z_torch.pow(2).mean().backward()
+    np.testing.assert_allclose(np.asarray(jg["conv0"]["w"]),
+                               blocks[0].weight.grad.numpy(),
+                               rtol=1e-3, atol=1e-5)
+
+    # --- full adversarial step: runs, finite, BN state advances once
+    gdef = GeneratorDef(z_dim=8, features_g=8)
+    gp, gs = generator_init(jax.random.key(32), gdef, dcgan_init=False)
+    dp, _ = discriminator_init(jax.random.key(33), DiscriminatorDef(features_d=8))
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    rp, rs = resnet_init(jax.random.key(34), rdef, init="glorot_normal")
+    tx = make_optimizer(ADAM)
+    enc_apply_fn = lambda p, st, x, train: encoder_attgan_apply(p, st, x, train=train)
+    state = PixFeaRecAdvStatefulState(aep, aes, dp, tx.init(aep), tx.init(dp),
+                                      jnp.asarray(0, jnp.int32))
+    train_step, eval_step = make_pix_fea_rec_adv_step_stateful(
+        gp, gs, rp, rs, rdef, ADAM, ADAM, enc_apply_fn)
+    new, m = train_step(state, real, jax.random.key(35))
+    for k in ("loss_disc", "loss_disc_r1penalty", "loss_enc",
+              "loss_enc_rec_pix", "loss_enc_rec_fea", "loss_enc_adv"):
+        assert np.isfinite(float(m[k])), k
+    # the new BN state == ONE train-mode forward from the pre-step state
+    _, expect_state = enc_apply_fn(state.enc_params, state.enc_state, real, True)
+    for a, b in zip(jax.tree.leaves(new.enc_state), jax.tree.leaves(expect_state)):
+        # jitted step vs eager recompute: identical math, fusion-level noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+    em = eval_step(new, real, jax.random.key(36))
+    assert np.isfinite(float(em["loss_enc"]))
+
+
 def test_invert_descends_and_batches():
     gdef = GeneratorDef(z_dim=8, features_g=8)
     gp, gs = generator_init(jax.random.key(10), gdef, dcgan_init=False)
