@@ -28,24 +28,30 @@ def pca_project(data: np.ndarray, n_components: int = 2, return_model: bool = Fa
 
 
 def make_umap(n_components: int = 2, n_neighbors: int = 15,
-              min_dist: float = 0.1, random_state: int = 42):
+              min_dist: float = 0.1, random_state: int = 42,
+              init: str = "pca"):
     """A UMAP reducer with fit_transform/transform: umap-learn when
     installed, otherwise this package's from-scratch implementation
     (analysis/umap_impl.py — the published algorithm with a JAX layout
-    loop; umap-learn is not installable in this environment)."""
+    loop; umap-learn is not installable in this environment).
+
+    init: "pca" (deterministic default) or "spectral" (umap-learn's
+    default — normalized fuzzy-graph Laplacian eigenvectors, layout-
+    comparable to reference figures; falls back to PCA on degenerate
+    graphs)."""
     try:
         import umap  # type: ignore
 
         return umap.UMAP(
             n_components=n_components, n_neighbors=n_neighbors,
-            min_dist=min_dist, random_state=random_state,
+            min_dist=min_dist, random_state=random_state, init=init,
         ), "umap"
     except ImportError:
         from gan_discovery_pso_tpu.analysis.umap_impl import UMAP
 
         return UMAP(
             n_components=n_components, n_neighbors=n_neighbors,
-            min_dist=min_dist, random_state=random_state,
+            min_dist=min_dist, random_state=random_state, init=init,
         ), "umap"
 
 

