@@ -51,7 +51,7 @@ _DIMS = ("NCHW", "OIHW", "NCHW")
 # (BASELINE.md): JAX's default conv precision is reduced (bf16 passes), so
 # every op here requests full fp32 accumulation by default. The opt-in
 # bf16 fast path flips this at trace time (ops/precision.fast_math).
-from gan_discovery_pso_tpu.ops.precision import default_precision
+from gan_discovery_pso_tpu.ops.precision import default_precision, resolve_accum_dtype
 
 
 def conv2d(
@@ -74,9 +74,11 @@ def conv2d(
     if precision is None:
         precision = default_precision()
     # mixed precision: multiply in the weights' dtype (bf16 on the fast
-    # path), accumulate in preferred_dtype (fp32) — the MXU-native recipe
+    # path), accumulate in preferred_dtype (fp32) — the MXU-native recipe;
+    # under precision.lowp_io() bf16 operands keep bf16 outputs (AD-safe)
     if x.dtype != weight.dtype:
         x = x.astype(weight.dtype)
+    preferred_dtype = resolve_accum_dtype(x.dtype, preferred_dtype)
     s = _pair(stride)
     p = _pair(padding)
     if lowering is None:
@@ -175,6 +177,7 @@ def conv_transpose2d(
         precision = default_precision()
     if x.dtype != weight.dtype:
         x = x.astype(weight.dtype)
+    preferred_dtype = resolve_accum_dtype(x.dtype, preferred_dtype)
     s = _pair(stride)
     p = _pair(padding)
     op = _pair(output_padding)
@@ -272,7 +275,8 @@ def _convt_subpixel(x, weight, s, p, op, preferred_dtype, precision):
         for rw in range(sw):
             th, tw = t_h[rh], t_w[rw]
             if th == 0 or tw == 0:
-                cols.append(jnp.zeros((n, cout, qh, qw), preferred_dtype))
+                cols.append(jnp.zeros((n, cout, qh, qw),
+                                      preferred_dtype or x.dtype))
                 continue
             sub = weight[:, :, rh::sh, rw::sw]  # (I, O, th, tw)
             kernel = jnp.flip(sub, axis=(2, 3)).swapaxes(0, 1)  # (O, I, th, tw)

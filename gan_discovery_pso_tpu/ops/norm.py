@@ -41,9 +41,15 @@ def batch_norm_train(
     eps: float = 1e-5,
     axes: tuple = (0, 2, 3),
 ) -> tuple[jax.Array, BatchNormStats]:
-    """Training-mode BN over NCHW (reduce N,H,W). Returns (y, new_stats)."""
-    mean = jnp.mean(x, axis=axes)
-    var = jnp.var(x, axis=axes)  # biased — used for normalization
+    """Training-mode BN over NCHW (reduce N,H,W). Returns (y, new_stats).
+
+    Statistics are always computed in fp32 (a no-op for fp32 inputs; for the
+    bf16 mixed-precision train path, batch mean/var reductions in bf16 lose
+    enough mantissa to corrupt the running stats). The normalized output is
+    cast back to the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.var(xf, axis=axes)  # biased — used for normalization
     # element count per channel = product of the REDUCED axes' sizes (not
     # size//shape[1], which silently assumes the channel axis is 1)
     n = 1
@@ -52,12 +58,14 @@ def batch_norm_train(
     unbiased = var * (n / max(n - 1, 1))  # used for the running update
     shape = _bshape(x, axes)
     inv = jax.lax.rsqrt(var.reshape(shape) + eps)
-    y = (x - mean.reshape(shape)) * inv * scale.reshape(shape) + bias.reshape(shape)
+    y = (xf - mean.reshape(shape)) * inv \
+        * scale.astype(jnp.float32).reshape(shape) \
+        + bias.astype(jnp.float32).reshape(shape)
     new_stats = BatchNormStats(
-        mean=(1.0 - momentum) * stats.mean + momentum * mean,
-        var=(1.0 - momentum) * stats.var + momentum * unbiased,
+        mean=(1.0 - momentum) * stats.mean.astype(jnp.float32) + momentum * mean,
+        var=(1.0 - momentum) * stats.var.astype(jnp.float32) + momentum * unbiased,
     )
-    return y, new_stats
+    return y.astype(x.dtype), new_stats
 
 
 def batch_norm_eval(

@@ -31,6 +31,7 @@ from gan_discovery_pso_tpu.pso.io import (
 )
 from gan_discovery_pso_tpu.pso.runner import (
     make_batched_discovery_runner,
+    make_chunked_batched_discovery_runner,
     make_discovery_runner,
     make_inverter_runner,
 )

@@ -57,6 +57,8 @@ def make_batched_discovery_runner(
     dtype=None,
     unroll: int = 1,
     rescale_impl: str = "xla",
+    fitness_chunk: int | None = None,
+    use_pallas: bool = False,
 ):
     """The flagship batched multi-class sweep with params as ARGUMENTS:
     run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
@@ -66,7 +68,19 @@ def make_batched_discovery_runner(
     path in pipelines/pso_discovery.py closed over params and recompiled per
     model). dtype=jnp.bfloat16 runs the model forwards in MXU-native
     precision (cast once per call, fp32 swarm math) — wrap the first call in
-    ops.precision.fast_math() or rely on the cast params alone."""
+    ops.precision.fast_math() or rely on the cast params alone.
+
+    fitness_chunk: evaluate each swarm's fitness in sequential chunks of
+    this many particles INSIDE the program (lax.map over reshaped chunks;
+    per-particle fitness is independent, so values are identical). Under the
+    class vmap the map body still sees n_classes x chunk images at once —
+    size it so that product keeps assessor residual activations at the HBM
+    streaming size (the throughput-mode MFU fix, docs/BENCH.md "where the
+    time goes"). Must divide hp.n_particles. use_pallas selects the fused
+    Pallas swarm-update iteration (pso/swarm.py pso_iteration_pallas)."""
+    if fitness_chunk is not None and hp.n_particles % fitness_chunk:
+        raise ValueError(
+            f"fitness_chunk={fitness_chunk} must divide n_particles={hp.n_particles}")
 
     @jax.jit
     def run(keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs):
@@ -79,16 +93,124 @@ def make_batched_discovery_runner(
             cnn_params_, cnn_state_ = cnn_params, cnn_state
 
         def one(key, class_idx):
-            def fitness(positions):
+            def fitness_body(positions):
                 return apply_discovery_fitness(
                     positions, gen_params_, gen_state_, cnn_params_, cnn_state_,
                     cnn_def, class_idx, control=control, threshold=threshold,
                     eps=eps, dtype=dtype, rescale_impl=rescale_impl,
                 )
 
-            return optimize(key, fitness, hp, unroll=unroll)
+            if fitness_chunk and fitness_chunk < hp.n_particles:
+                def fitness(positions):
+                    xs = positions.reshape(
+                        -1, fitness_chunk, positions.shape[1])
+                    return jax.lax.map(fitness_body, xs).reshape(-1)
+            else:
+                fitness = fitness_body
+
+            return optimize(key, fitness, hp, unroll=unroll,
+                            use_pallas=use_pallas)
 
         return jax.vmap(one, in_axes=(0, 0))(keys, class_idxs)
+
+    return run
+
+
+def make_chunked_batched_discovery_runner(
+    cnn_def: ResNetDef,
+    hp: PsoConfig,
+    chunk: int,
+    control: str = OPTIMIZE_OUT,
+    threshold: float = 0.0,
+    eps: float = 0.1,
+    dtype=None,
+    unroll: int = 1,
+    rescale_impl: str = "xla",
+    fitness_chunk: int | None = None,
+    use_pallas: bool = False,
+):
+    """make_batched_discovery_runner semantics, compiled as a `chunk`-
+    iteration program dispatched n_iterations/chunk times from the host.
+
+    The trajectory is IDENTICAL to the monolithic runner: optimize() derives
+    each iteration's RNG by fold_in(iter_key, state.iteration) and the same
+    top-level key is reused for every chunk, so chunked calls replay the
+    single-shot stream exactly (same mechanism as optimize_resumable,
+    pso/swarm.py:298). Purpose: HIGHEST-precision fp32 programs compile
+    superlinearly in program length on this backend (BENCH r2: 522.9 s cold
+    for the 50-iteration monolith vs 2.1 s for the bf16 twin) — a parity/gate
+    run needs the converged g_best, not one monolithic program. Dispatch
+    overhead is one tunnel RTT per chunk. Stops early once every class swarm
+    has latched `done`; the returned history then covers only the executed
+    chunks (callers needing the reference's full-length history should size
+    `chunk` to divide the early-stop point or use the monolithic runner)."""
+    if hp.n_iterations % chunk:
+        raise ValueError(f"chunk={chunk} must divide n_iterations={hp.n_iterations}")
+
+    kw = dict(control=control, threshold=threshold, eps=eps, dtype=dtype,
+              unroll=unroll, rescale_impl=rescale_impl,
+              fitness_chunk=fitness_chunk, use_pallas=use_pallas)
+    import dataclasses
+
+    hp_chunk = dataclasses.replace(hp, n_iterations=chunk)
+    first = make_batched_discovery_runner(cnn_def, hp_chunk, **kw)
+
+    def _fitness(gen_params_, gen_state_, cnn_params_, cnn_state_, class_idx):
+        def fitness(positions):
+            return apply_discovery_fitness(
+                positions, gen_params_, gen_state_, cnn_params_, cnn_state_,
+                cnn_def, class_idx, control=control, threshold=threshold,
+                eps=eps, dtype=dtype, rescale_impl=rescale_impl,
+            )
+        return fitness
+
+    @jax.jit
+    def resume(keys, gen_params, gen_state, cnn_params, cnn_state,
+               class_idxs, states):
+        if dtype is not None:
+            gen_params_ = jax.tree.map(lambda x: x.astype(dtype), gen_params)
+            gen_state_ = jax.tree.map(lambda x: x.astype(dtype), gen_state)
+            cnn_params_ = jax.tree.map(lambda x: x.astype(dtype), cnn_params)
+            cnn_state_ = jax.tree.map(lambda x: x.astype(dtype), cnn_state)
+        else:
+            gen_params_, gen_state_ = gen_params, gen_state
+            cnn_params_, cnn_state_ = cnn_params, cnn_state
+
+        def one(key, class_idx, state):
+            fitness_body = _fitness(gen_params_, gen_state_, cnn_params_,
+                                    cnn_state_, class_idx)
+            if fitness_chunk and fitness_chunk < hp.n_particles:
+                def fitness(positions):
+                    xs = positions.reshape(-1, fitness_chunk, positions.shape[1])
+                    return jax.lax.map(fitness_body, xs).reshape(-1)
+            else:
+                fitness = fitness_body
+            return optimize(
+                key, fitness, hp, init_state=state, n_iterations=chunk,
+                unroll=unroll, use_pallas=use_pallas,
+            )
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(keys, class_idxs, states)
+
+    def run(keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs):
+        import numpy as np
+
+        finals, hist, inits = first(
+            keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs)
+        parts = [hist]
+        for _ in range(hp.n_iterations // chunk - 1):
+            if bool(np.asarray(finals.done).all()):
+                break
+            finals, hist, _ = resume(
+                keys, gen_params, gen_state, cnn_params, cnn_state,
+                class_idxs, finals)
+            parts.append(hist)
+        if len(parts) > 1:
+            history = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+        else:
+            history = parts[0]
+        return finals, history, inits
 
     return run
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from gan_discovery_pso_tpu.core.config import AdamConfig
+from gan_discovery_pso_tpu.ops import precision
 from gan_discovery_pso_tpu.models.dcgan import (
     DiscriminatorDef,
     GeneratorDef,
@@ -72,15 +73,34 @@ def gan_init(key, gdef: GeneratorDef, ddef: DiscriminatorDef, adam: AdamConfig):
     return build(key), tx
 
 
-def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: bool = True):
+def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: bool = True,
+                        compute_dtype=None):
     """Returns train_step(state, real, key) -> (state, metrics), jittable and
-    shardable (real: [B,C,H,W] on the "data" axis)."""
+    shardable (real: [B,C,H,W] on the "data" axis).
+
+    compute_dtype=jnp.bfloat16 is the opt-in mixed-precision path: master
+    params, optimizer state, and loss/metric math stay fp32; the G/D
+    forwards and backwards run with params and activations cast to bf16
+    (the cast is differentiable, so gradients arrive back in fp32). BN
+    batch statistics are computed by the model in fp32 regardless. Gated in
+    bench.py on fp32 loss-trajectory agreement; default None keeps the
+    reference-parity fp32 path."""
     tx = make_optimizer(adam)
+    cast = (lambda t: t) if compute_dtype is None else (
+        lambda t: jax.tree.map(lambda x: x.astype(compute_dtype), t))
 
     def train_step(state: GanTrainState, real: jax.Array, key: jax.Array):
+        # trace-time: bf16 convs keep bf16 outputs so the whole program is
+        # reverse-differentiable (precision.resolve_accum_dtype rationale)
+        with precision.lowp_io(compute_dtype is not None):
+            return _train_step(state, real, key)
+
+    def _train_step(state: GanTrainState, real: jax.Array, key: jax.Array):
         bs = real.shape[0]
         kz, kp, kn = jax.random.split(key, 3)
         noise = jax.random.normal(kz, (bs, gdef.z_dim, 1, 1), jnp.float32)
+        noise_c = cast(noise)
+        real_c = cast(real)
 
         if label_smoothing:
             y_real = smooth_positive(kp, (bs,))
@@ -90,13 +110,22 @@ def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: b
             y_fake = jnp.zeros((bs,), jnp.float32)
 
         # forward G once in train mode: fake images + updated BN stats
-        fake, new_gen_state = generator_apply(state.gen_params, state.gen_state, noise, train=True)
+        fake, new_gen_state = generator_apply(
+            cast(state.gen_params), cast(state.gen_state), noise_c, train=True)
         fake_const = jax.lax.stop_gradient(fake)
+        if compute_dtype is not None:
+            # BN running stats remain an fp32 pytree in the train state
+            new_gen_state = jax.tree.map(
+                lambda new, old: new.astype(old.dtype), new_gen_state,
+                state.gen_state)
 
         # --- D step (util_dcgan.py:195-211)
         def d_loss_fn(dp):
-            l_real = bce_from_logits(discriminator_logits(dp, real), y_real)
-            l_fake = bce_from_logits(discriminator_logits(dp, fake_const), y_fake)
+            dp = cast(dp)  # grad of the cast upcasts back: fp32 grads out
+            l_real = bce_from_logits(
+                discriminator_logits(dp, real_c).astype(jnp.float32), y_real)
+            l_fake = bce_from_logits(
+                discriminator_logits(dp, fake_const).astype(jnp.float32), y_fake)
             return (l_real + l_fake) / 2.0
 
         loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
@@ -105,8 +134,11 @@ def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: b
 
         # --- G step against the updated D (util_dcgan.py:213-218)
         def g_loss_fn(gp):
-            fake_g, _ = generator_apply(gp, state.gen_state, noise, train=True)
-            return bce_from_logits(discriminator_logits(new_disc_params, fake_g), y_real)
+            fake_g, _ = generator_apply(cast(gp), cast(state.gen_state),
+                                        noise_c, train=True)
+            return bce_from_logits(
+                discriminator_logits(cast(new_disc_params), fake_g)
+                .astype(jnp.float32), y_real)
 
         loss_g, g_grads = jax.value_and_grad(g_loss_fn)(state.gen_params)
         g_updates, new_opt_g = tx.update(g_grads, state.opt_g, state.gen_params)

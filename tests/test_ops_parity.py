@@ -96,6 +96,36 @@ def test_batch_norm_train_matches_torch():
     np.testing.assert_allclose(np.asarray(new_stats.var), bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_batch_norm_train_bf16_inputs_keep_fp32_stats():
+    """The bf16 mixed-precision train path feeds BN bf16 activations; the
+    batch statistics must still be computed in fp32 (bf16 mean/var reductions
+    corrupt the running stats), the running-stat pytree must stay fp32, and
+    the normalized output comes back in the input dtype."""
+    x = _rand(16, 8, 7, 7, seed=21)
+    scale = _rand(8, seed=22) * 0.1 + 1.0
+    bias = _rand(8, seed=23) * 0.1
+    stats = BatchNormStats.init(8)
+
+    y32, st32 = batch_norm_train(jnp.array(x), jnp.array(scale), jnp.array(bias), stats)
+    y16, st16 = batch_norm_train(
+        jnp.array(x, jnp.bfloat16),
+        jnp.array(scale, jnp.bfloat16),
+        jnp.array(bias, jnp.bfloat16),
+        stats,
+    )
+    assert y16.dtype == jnp.bfloat16
+    assert st16.mean.dtype == jnp.float32 and st16.var.dtype == jnp.float32
+    # stats computed from bf16-rounded inputs but in fp32 arithmetic: the
+    # only error left is the input rounding (~4e-3 relative), far below what
+    # bf16-accumulated reductions over 784 elements would produce
+    np.testing.assert_allclose(np.asarray(st16.mean), np.asarray(st32.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st16.var), np.asarray(st32.var),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.1, atol=0.05)
+
+
 def test_batch_norm_eval_matches_torch():
     x = _rand(4, 8, 5, 5, seed=10)
     scale = np.ones(8, np.float32)

@@ -392,6 +392,74 @@ def test_batched_discovery_runner_reuses_compilation_and_matches_per_class():
     assert runner._cache_size() == 1
 
 
+def test_batched_runner_fitness_chunk_is_exact():
+    """fitness_chunk evaluates the swarm in sequential in-program chunks
+    (the throughput-mode HBM-streaming fix): per-particle fitness is
+    independent, so trajectories must be IDENTICAL to the unchunked runner,
+    not merely close."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=3, n_particles=8, dim_space=8)
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(8, 1, 8))
+    rp, rs = resnet_init(jax.random.key(10), rdef, init="glorot_normal")
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    keys = jnp.stack([jax.random.key(5), jax.random.key(6)])
+
+    plain = make_batched_discovery_runner(rdef, hp)
+    chunked = make_batched_discovery_runner(rdef, hp, fitness_chunk=2)
+    f_plain, h_plain, _ = plain(keys, gp, gs, rp, rs, idxs)
+    f_chunk, h_chunk, _ = chunked(keys, gp, gs, rp, rs, idxs)
+    np.testing.assert_array_equal(np.asarray(f_plain.g_best_val),
+                                  np.asarray(f_chunk.g_best_val))
+    np.testing.assert_array_equal(np.asarray(h_plain.fitness),
+                                  np.asarray(h_chunk.fitness))
+    np.testing.assert_array_equal(np.asarray(f_plain.positions),
+                                  np.asarray(f_chunk.positions))
+
+    with pytest.raises(ValueError):
+        make_batched_discovery_runner(rdef, hp, fitness_chunk=3)
+
+
+def test_chunked_batched_runner_replays_monolithic_trajectory():
+    """make_chunked_batched_discovery_runner dispatches n/chunk short
+    programs; the per-iteration RNG is keyed on state.iteration, so the
+    trajectory (history AND finals) must be bit-identical to the monolithic
+    runner — this is what lets the bench gate run fp32 without paying the
+    monolithic HIGHEST-precision compile."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.pso import (
+        make_batched_discovery_runner,
+        make_chunked_batched_discovery_runner,
+    )
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=6, n_particles=4, dim_space=8)
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(8, 1, 8))
+    rp, rs = resnet_init(jax.random.key(10), rdef, init="glorot_normal")
+    idxs = jnp.asarray([1, 3], jnp.int32)
+    keys = jnp.stack([jax.random.key(7), jax.random.key(8)])
+
+    mono = make_batched_discovery_runner(rdef, hp)
+    chunked = make_chunked_batched_discovery_runner(rdef, hp, chunk=2)
+    f_m, h_m, i_m = mono(keys, gp, gs, rp, rs, idxs)
+    f_c, h_c, i_c = chunked(keys, gp, gs, rp, rs, idxs)
+
+    for a, b in zip(jax.tree.leaves(f_m), jax.tree.leaves(f_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(h_m.fitness), np.asarray(h_c.fitness))
+    np.testing.assert_array_equal(np.asarray(h_m.g_best_val),
+                                  np.asarray(h_c.g_best_val))
+    np.testing.assert_array_equal(np.asarray(i_m.positions),
+                                  np.asarray(i_c.positions))
+
+    with pytest.raises(ValueError):
+        make_chunked_batched_discovery_runner(rdef, hp, chunk=4)
+
+
 @pytest.mark.parametrize("seed", [11, 23, 37, 51])
 def test_pso_iteration_matches_numpy_randomized_configs(seed):
     """Property-style sweep: random hyper-parameter draws (inertia schedule

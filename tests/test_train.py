@@ -419,3 +419,35 @@ def test_train_cnn_multipatient_requires_class_map():
             train_batches=lambda _e: [], val_batches=lambda _e: [],
             num_epochs=1, apply_fn=alexnet_apply, init_fn=alexnet_init,
         )
+
+
+def test_gan_train_step_bf16_compute_path():
+    """make_gan_train_step(compute_dtype=bf16): master params / optimizer
+    state / BN running stats stay fp32, and a short loss trajectory tracks
+    the fp32 step closely (this is the quality gate bench.py applies at
+    production shapes — here asserted structurally at toy width)."""
+    from gan_discovery_pso_tpu.train.dcgan import gan_init, make_gan_train_step
+
+    gdef = GeneratorDef(z_dim=8, features_g=16)
+    ddef = DiscriminatorDef(features_d=16)
+    state0, _ = gan_init(jax.random.key(2), gdef, ddef, ADAM)
+    step32 = jax.jit(make_gan_train_step(gdef, ADAM))
+    step16 = jax.jit(make_gan_train_step(gdef, ADAM, compute_dtype=jnp.bfloat16))
+
+    rng = np.random.RandomState(0)
+    s32, s16 = state0, state0
+    traj32, traj16 = [], []
+    for i in range(3):
+        real = jnp.asarray(rng.rand(16, 1, 28, 28) * 2 - 1, jnp.float32)
+        k = jax.random.key(100 + i)
+        s32, m32 = step32(s32, real, k)
+        s16, m16 = step16(s16, real, k)
+        traj32.append((float(m32["loss_gen"]), float(m32["loss_disc"])))
+        traj16.append((float(m16["loss_gen"]), float(m16["loss_disc"])))
+
+    for leaf in jax.tree.leaves((s16.gen_params, s16.disc_params, s16.opt_g,
+                                 s16.opt_d, s16.gen_state)):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+    t32, t16 = np.asarray(traj32), np.asarray(traj16)
+    assert np.isfinite(t16).all()
+    np.testing.assert_allclose(t16, t32, rtol=0.15, atol=0.05)

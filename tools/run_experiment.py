@@ -78,10 +78,39 @@ def done_legs() -> set[str]:
     return done
 
 
+def wait_for_backend(max_tries: int = 20, probe_timeout_s: int = 180) -> None:
+    """Block until the TPU backend initializes in a probe SUBPROCESS.
+
+    The axon tunnel admits one client; right after a leg exits, the lease
+    can linger and the NEXT process's jax.devices() hangs in a futex forever
+    (observed 35+ min). A bounded probe per attempt (the hang is in-process,
+    so it must be a subprocess) with sleeps between attempts rides out the
+    lease window instead of wedging a whole leg."""
+    for attempt in range(max_tries):
+        try:
+            p = subprocess.run(
+                [PY, "-c", "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+                cwd=REPO,
+            )
+            if p.returncode == 0 and "ok" in p.stdout:
+                if attempt:
+                    print(f"[experiment] backend up after {attempt + 1} probes",
+                          flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[experiment] backend probe {attempt + 1}/{max_tries} failed; "
+              "waiting 60s", flush=True)
+        time.sleep(60)
+    sys.exit("[experiment] TPU backend never came up")
+
+
 def run_leg(leg: str, argv_fn, done: set[str]) -> None:
     if leg in done:
         print(f"[experiment] {leg}: already done, skipping", flush=True)
         return
+    wait_for_backend()
     argv = [PY, "-m", "gan_discovery_pso_tpu.cli"] + argv_fn()
     log_path = LOGS / f"{leg}.log"
     print(f"[experiment] {leg}: {' '.join(argv[2:])}", flush=True)
