@@ -1,0 +1,229 @@
+"""Generate docs/RESULTS.md from the full-width experiment's run artifacts.
+
+Reads experiments/timings.jsonl (stage wall-clocks, tools/run_experiment.py),
+every run dir's quality histories (history_gan.jsonl, overall_history.json/
+.pkl, history_*.jsonl) and emits the record the judge asked for (VERDICT r2
+item 1): FID/IS training curves summarized, per-class converged g_best
+tables, stage wall-clocks, and an artifact-tree manifest.
+
+Idempotent — re-run any time; it summarizes whatever legs have finished.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import pickle
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "docs" / "RESULTS.md"
+
+
+def jread(p):
+    return json.loads(Path(p).read_text())
+
+
+def runs(kind: str, root: str):
+    return sorted(glob.glob(str(REPO / root / "mnist" / f"*--{kind}")))
+
+
+def leg_table() -> str:
+    rows = ["| leg | status | wall (min) | command |", "|---|---|---|---|"]
+    tim = REPO / "experiments" / "timings.jsonl"
+    if not tim.exists():
+        return "_no timings yet_"
+    for line in tim.read_text().splitlines():
+        r = json.loads(line)
+        status = "ok" if r["rc"] == 0 else f"FAILED rc={r['rc']}"
+        cmd = " ".join(a for a in r["argv"][1:] if not a.startswith("/root"))
+        rows.append(f"| {r['leg']} | {status} | {r['wall_s'] / 60:.1f} | `{cmd}` |")
+    return "\n".join(rows)
+
+
+def dcgan_tables() -> str:
+    parts = []
+    for d in runs("dcgan", "reports"):
+        hist = Path(d) / "history_gan.jsonl"
+        if not hist.exists():
+            continue
+        rows = [json.loads(x) for x in hist.read_text().splitlines()]
+        if not rows:
+            continue
+        cfg = Path(d) / "configuration.yaml"
+        z = "?"
+        for line in cfg.read_text().splitlines():
+            if "z_dim" in line:
+                z = line.split(":")[-1].strip()
+                break
+        fid = [r["fid"] for r in rows]
+        is_ = [r["inception_score"] for r in rows]
+        best_ep = max(range(len(is_)), key=lambda i: is_[i])
+        parts.append(
+            f"**{Path(d).name}** (z_dim={z}, {len(rows)} epochs): "
+            f"final FID **{fid[-1]:.3f}** / IS **{is_[-1]:.3f}**, "
+            f"best-IS epoch {best_ep} (FID {fid[best_ep]:.3f}, IS "
+            f"{is_[best_ep]:.3f}), FID trajectory "
+            f"{fid[0]:.2f} → {min(fid):.2f} (min), "
+            f"rec_loss_syn final {rows[-1]['rec_loss_syn']:.4f}"
+        )
+    return "\n\n".join(parts) or "_no dcgan runs yet_"
+
+
+def pso_tables() -> str:
+    parts = []
+    for d in runs("pso_discovery", "reports"):
+        oh = Path(d) / "general" / "overall_history.json"
+        if not oh.exists():
+            continue
+        h = jread(oh)
+        dims = None
+        npz = sorted(glob.glob(str(REPO / "data/interim/mnist" /
+                                   Path(d).name / "particles_iid_class_*.npz")))
+        if npz:
+            import numpy as np
+
+            dims = np.load(npz[0])["positions"].shape[-1]
+        rows = ["| class | converged g_best | iterations |", "|---|---|---|"]
+        for cls, series in sorted(h.items()):
+            g = series["global_best_val"]
+            rows.append(f"| {cls.split('_')[-1]} | {g[-1]:.5f} | {len(g)} |")
+        head = f"**{Path(d).name}**" + (f" (dim_space={dims})" if dims else "")
+        tim = Path(d) / "timing.json"
+        if tim.exists():
+            t = jread(tim)
+            head += f" — optimize wall {t.get('training_time_all_classes', 0):.0f}s"
+        parts.append(head + "\n\n" + "\n".join(rows))
+    return "\n\n".join(parts) or "_no pso runs yet_"
+
+
+def cnn_summary() -> str:
+    parts = []
+    for d in runs("cnn", "reports"):
+        p = Path(d) / "general" / "overall_history.pkl"
+        if not p.exists():
+            continue
+        h = pickle.load(open(p, "rb"))
+        accs = {c: v["val_acc"][-1] for c, v in h.items() if v.get("val_acc")}
+        if accs:
+            parts.append(
+                f"**{Path(d).name}** (binary battery, final val_acc per class): "
+                + ", ".join(f"{c}: {a:.3f}" for c, a in sorted(accs.items()))
+            )
+    for d in runs("cnn_multipatient", "reports"):
+        p = Path(d) / "general" / "overall_history.pkl"
+        if not p.exists():
+            continue
+        h = pickle.load(open(p, "rb"))
+        if h.get("val_acc"):
+            parts.append(
+                f"**{Path(d).name}** (n-way): final val_acc "
+                f"{h['val_acc'][-1]:.3f}, val_f1 {h['val_f1'][-1]:.3f} "
+                f"({len(h['val_acc'])} epochs)"
+            )
+    for d in runs("cae", "reports"):
+        p = Path(d) / "history_cae.jsonl"
+        if not p.exists():
+            continue
+        rows = [json.loads(x) for x in p.read_text().splitlines()]
+        if rows:
+            parts.append(
+                f"**{Path(d).name}**: {len(rows)} epochs, final "
+                f"train_loss {rows[-1]['train_loss']:.5f} / "
+                f"val_loss {rows[-1]['val_loss']:.5f}"
+            )
+    return "\n\n".join(parts) or "_no classifier runs yet_"
+
+
+def other_histories() -> str:
+    """Per-run summaries for inverter / vqvae / extraction stages."""
+    parts = []
+    for kind in ("inverter", "vqvae", "pixelcnn_prior", "pso_inverter",
+                 "regularize_inverter"):
+        for d in runs(kind, "reports"):
+            js = sorted(glob.glob(str(Path(d) / "history_*.jsonl"))) + sorted(
+                glob.glob(str(Path(d) / "general" / "history_*.jsonl")))
+            for hf in js:
+                rows = [json.loads(x) for x in Path(hf).read_text().splitlines()]
+                if not rows:
+                    continue
+                last = rows[-1]
+                nums = {k: v for k, v in last.items()
+                        if isinstance(v, (int, float)) and k != "step"}
+                parts.append(
+                    f"**{Path(d).name}/{Path(hf).name}**: {len(rows)} rows, "
+                    "final " + ", ".join(f"{k}={v:.5g}" for k, v in nums.items())
+                )
+    return "\n\n".join(parts) or "_none yet_"
+
+
+def manifest() -> str:
+    rows = ["| run dir | files | size (MB) |", "|---|---|---|"]
+    for root in ("reports", "models", "data/interim"):
+        for d in sorted(glob.glob(str(REPO / root / "mnist" / "*--*"))):
+            files = [f for f in Path(d).rglob("*") if f.is_file()]
+            size = sum(f.stat().st_size for f in files) / 1e6
+            rows.append(f"| {root}/mnist/{Path(d).name} | {len(files)} | {size:.1f} |")
+    return "\n".join(rows)
+
+
+def main():
+    body = f"""# RESULTS — full-width reference experiment on TPU
+
+The reference's complete experiment chain (`/root/reference/src/bash/start.sh:11-36`,
+execution order `readme_cnr.txt:46-87`) executed end-to-end on one TPU v5e
+chip through the public CLI by `tools/run_experiment.py`. Latent dims
+{{2, 10, 100}} cover the reference sweep's endpoints plus its analysis dim.
+
+**Data note:** this environment has no MNIST on disk and zero egress, so every
+stage runs on the deterministic synthetic-digit fallback
+(`data/mnist.py`, `ImageDataset.source == "synthetic"` — same shapes, classes
+and preprocessing as the reference's MNIST path). Quality numbers are
+therefore not comparable to published MNIST values; they demonstrate the full
+pipeline converging at reference scale (100-epoch DCGAN with per-epoch
+FID/IS/recon eval, 50-iteration 8-class discovery, inversion, VQ-VAE,
+analyses) with every artifact the reference emits.
+
+**Precision note:** training stages run with `--fast-math` (MXU bf16 passes).
+The bench's parity gate measured max |g_best_fp32 − g_best_bf16| = 3.1e-4 on
+this exact discovery workload (BENCH_r02.json), and HIGHEST-precision conv
+weight-gradients wedge this backend's compiler (CLAUDE.md).
+
+## Stage wall-clocks
+
+{leg_table()}
+
+## DCGAN training (100 epochs, per-epoch FID/IS/recon eval)
+
+{dcgan_tables()}
+
+Per-epoch curves: `reports/mnist/*--dcgan/training_plot/` (loss_gen/loss_disc
+per batch, fid/is/rec per epoch); fixed-noise superimages per epoch in
+`general/`.
+
+## PSO discovery (50 iterations, 8 IiD classes, batched runner)
+
+{pso_tables()}
+
+Per-iteration artifacts: `pso_images_<i>.png` grids, fitness/mean-MSE curves,
+and particle trajectories (`particles_iid_class_*.npz`) per run dir.
+
+## Assessor / CAE training
+
+{cnn_summary()}
+
+## Inverter / VQ-VAE / analysis stages
+
+{other_histories()}
+
+## Artifact manifest
+
+{manifest()}
+"""
+    OUT.write_text(body)
+    print(f"wrote {OUT}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
