@@ -198,8 +198,15 @@ def run_pso_discovery_batched(
     # serves every model of the same shapes across sweeps
     from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
 
+    # opt-in HBM-streaming knob for large swarms (--set
+    # trainer_pso.fitness_chunk=32): evaluate each swarm's fitness in
+    # sequential in-program chunks — identical values (pso/runner.py), keeps
+    # assessor residual activations at the streaming size when
+    # n_classes*n_particles forwards would otherwise spill (docs/BENCH.md)
+    fitness_chunk = ctx.cfg.trainer_pso.get("fitness_chunk")
     run = make_batched_discovery_runner(
-        cnn_def, hp, control=control, threshold=threshold, dtype=fast_math_dtype
+        cnn_def, hp, control=control, threshold=threshold, dtype=fast_math_dtype,
+        fitness_chunk=int(fitness_chunk) if fitness_chunk else None,
     )
     keys = jnp.stack([
         ctx.keys.child(f"class_{label}")("pso") for label in classes

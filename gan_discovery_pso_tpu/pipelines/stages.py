@@ -320,7 +320,14 @@ def run_dcgan(
             "the drop-last epoch loop would run zero batches; lower "
             "trainer_gan.batch_size or raise the data cap"
         )
-    step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing))
+    # opt-in mixed-precision training (--set trainer_gan.compute_dtype=bfloat16):
+    # master params/opt state/BN stats stay fp32, forwards+backwards run bf16
+    # (train/dcgan.py); gated in bench.py on fp32 loss-trajectory agreement
+    compute_dtype = cfg.trainer_gan.get("compute_dtype")
+    if compute_dtype is not None:
+        compute_dtype = jnp.dtype(str(compute_dtype))
+    step = jax.jit(make_gan_train_step(gdef, adam, label_smoothing,
+                                       compute_dtype=compute_dtype))
     sampler = make_sampler(gdef)
     mw = ctx.metrics("history_gan", tensorboard=tensorboard)
     if resume:

@@ -745,6 +745,50 @@ def test_pso_discovery_batched_fast_math(roots, artifacts):
         )
 
 
+def test_pso_discovery_batched_fitness_chunk_override(roots, artifacts):
+    """`--set trainer_pso.fitness_chunk=N` threads through the batched stage
+    and leaves results bit-identical (chunked fitness is exact, pso/runner)."""
+    _ctx3, gan_state, _ = artifacts["dcgan"]
+    _ctx4, cnn_state, rdef = artifacts["cnn"]
+    from gan_discovery_pso_tpu.pipelines import run_pso_discovery_batched
+
+    ctx = _ctx(roots, "pso_discovery_chunked",
+               extra={"trainer_pso.fitness_chunk": 4})
+    chunked = run_pso_discovery_batched(
+        ctx, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    ctx2 = _ctx(roots, "pso_discovery_unchunked_cmp")
+    plain = run_pso_discovery_batched(
+        ctx2, gan_state.gen_params, gan_state.gen_state,
+        cnn_state.params, cnn_state.model_state, rdef,
+        classes=(0, 2), make_plots=False,
+    )
+    for label in (0, 2):
+        np.testing.assert_array_equal(
+            np.asarray(chunked[label].g_best_val),
+            np.asarray(plain[label].g_best_val))
+        np.testing.assert_array_equal(
+            chunked[label].particle_trajectories(),
+            plain[label].particle_trajectories())
+
+
+def test_dcgan_stage_compute_dtype_override(roots, artifacts):
+    """`--set trainer_gan.compute_dtype=bfloat16` trains the stage on the
+    mixed-precision step: finite losses, fp32 checkpointed state."""
+    _ctx1, cae_state, _ = artifacts["cae"]
+    _ctx2, battery = artifacts["classifiers"]
+
+    ctx = _ctx(roots, "dcgan_bf16",
+               extra={"trainer_gan.compute_dtype": "bfloat16"})
+    state, hist = run_dcgan(ctx, cae_state, battery, epochs=1, n_synthetic=16)
+    assert np.isfinite(hist["loss_gen"]).all()
+    assert np.isfinite(hist["fid"][-1])
+    for leaf in jax.tree.leaves((state.gen_params, state.disc_params)):
+        assert leaf.dtype == jnp.float32
+
+
 def test_inverter_pix_fea_rec_adv_pipeline(roots, artifacts):
     """The adversarial inverter pipeline branch tracks all three reference
     phases (train/val_iid/val_ood, util_inverter.py:349) and selects the

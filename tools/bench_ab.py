@@ -87,7 +87,11 @@ n_classes = case["n_classes"]
 hp = PsoConfig(n_iterations=case["n_iterations"], n_particles=32, dim_space=100)
 class_idxs = jnp.arange(n_classes, dtype=jnp.int32)
 swarm_keys = jnp.stack([keys(f"pso_{c}") for c in range(n_classes)])
-run = make_batched_discovery_runner(rdef, hp)
+if case.get("chunk"):
+    from gan_discovery_pso_tpu.pso import make_chunked_batched_discovery_runner
+    run = make_chunked_batched_discovery_runner(rdef, hp, chunk=case["chunk"])
+else:
+    run = make_batched_discovery_runner(rdef, hp)
 level = {"HIGHEST": lax.Precision.HIGHEST, "HIGH": lax.Precision.HIGH,
          "DEFAULT": lax.Precision.DEFAULT}[case["precision"]]
 t0 = time.time()
@@ -102,17 +106,21 @@ print(json.dumps({"compile_plus_first_s": round(wall, 1),
 
 def leg_compile_bisect():
     cases = [
-        # name, precision, n_iterations, n_classes
-        ("HIGHEST_5it_8c", "HIGHEST", 5, 8),
-        ("HIGH_50it_8c", "HIGH", 50, 8),
-        ("HIGHEST_50it_1c", "HIGHEST", 50, 1),
+        # name, precision, n_iterations, n_classes, host-chunk size
+        ("HIGHEST_5it_8c", "HIGHEST", 5, 8, None),
+        ("HIGH_50it_8c", "HIGH", 50, 8, None),
+        ("HIGHEST_50it_1c", "HIGHEST", 50, 1, None),
+        # the candidate fix: same trajectory, compiled as 10-iteration
+        # programs dispatched 5x (make_chunked_batched_discovery_runner)
+        ("HIGHEST_50it_8c_chunk10", "HIGHEST", 50, 8, 10),
     ]
     if os.environ.get("GDPT_BISECT_FULL"):
-        cases.insert(0, ("HIGHEST_50it_8c", "HIGHEST", 50, 8))
-    for name, prec, iters, ncls in cases:
+        cases.insert(0, ("HIGHEST_50it_8c", "HIGHEST", 50, 8, None))
+    for name, prec, iters, ncls, chunk in cases:
         cache = f"/tmp/jax_cache_bisect_{name}"
         spec = json.dumps({"cache_dir": cache, "precision": prec,
-                           "n_iterations": iters, "n_classes": ncls})
+                           "n_iterations": iters, "n_classes": ncls,
+                           "chunk": chunk})
         log(f"[bench_ab] compile_bisect case {name} ...")
         t0 = time.time()
         try:
@@ -344,7 +352,10 @@ LEGS = {
 
 
 def main():
-    names = sys.argv[1:] or list(LEGS)
+    # lowp_io is opt-in only: round-2 already measured bf16-materialized conv
+    # outputs as a negative on the fitness path (docs/BENCH.md — no win, gate
+    # broken at 2.9e-3); run it explicitly to re-check on new shapes.
+    names = sys.argv[1:] or [n for n in LEGS if n != "lowp_io"]
     for n in names:
         log(f"[bench_ab] ===== leg {n} =====")
         try:
