@@ -32,12 +32,17 @@ _DPI_SCALE = float(_os.environ.get("GDPT_PLOT_DPI_SCALE", "1.0"))
 # real PNG at the contracted location, but rasterization — the dominant
 # cost of the e2e suite's hundreds of matplotlib renders on this 1-core
 # host — is skipped for most figures (a pre-encoded 1x1 PNG is written
-# instead). A deterministic 1-in-8 sample (by path hash) still renders
-# fully so real-rasterization coverage never drops to zero. Production
-# runs (the CLI) never set the env var and always render everything.
+# instead). The FIRST save of each filename pattern (digits normalized,
+# so iter_000.png ≡ iter_017.png) in a process still renders fully —
+# every figure kind, including the many writers with fixed filenames
+# (train_loss.png, latent_space_Training.png, ...), gets at least one
+# real raster per test run — plus a deterministic 1-in-8 path-hash
+# sample for breadth on repeated patterns. Production runs (the CLI)
+# never set the env var and always render everything.
 _FAST_FIGURES = _os.environ.get("GDPT_FAST_FIGURES", "") == "1"
 # minimal valid 1x1 gray PNG (PIL-encoded once at import when needed)
 _STUB_PNG: bytes | None = None
+_RENDERED_PATTERNS: set[str] = set()
 
 
 def _dpi(d: int) -> int:
@@ -45,9 +50,16 @@ def _dpi(d: int) -> int:
 
 
 def _render_anyway(path) -> bool:
+    import re
     import zlib
 
-    return zlib.crc32(str(Path(path).name).encode()) % 8 == 0
+    p = Path(path)
+    key = f"{p.parent.name}/{p.name}"
+    pattern = re.sub(r"\d+", "N", key)
+    if pattern not in _RENDERED_PATTERNS:
+        _RENDERED_PATTERNS.add(pattern)
+        return True
+    return zlib.crc32(key.encode()) % 8 == 0
 
 
 def _savefig(fig, path, dpi: int, **kw) -> None:

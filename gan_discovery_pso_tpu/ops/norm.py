@@ -45,8 +45,11 @@ def batch_norm_train(
 
     Statistics are always computed in fp32 (a no-op for fp32 inputs; for the
     bf16 mixed-precision train path, batch mean/var reductions in bf16 lose
-    enough mantissa to corrupt the running stats). The normalized output is
-    cast back to the input dtype."""
+    enough mantissa to corrupt the running stats). The fp32 computation stays
+    internal: both the normalized output and the returned running stats are
+    cast back to their incoming dtypes, so the state pytree's dtype is stable
+    across steps (callers threading BN state through a scan/while carry or a
+    low-precision checkpoint would otherwise hit dtype mismatches)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes)
     var = jnp.var(xf, axis=axes)  # biased — used for normalization
@@ -62,8 +65,10 @@ def batch_norm_train(
         * scale.astype(jnp.float32).reshape(shape) \
         + bias.astype(jnp.float32).reshape(shape)
     new_stats = BatchNormStats(
-        mean=(1.0 - momentum) * stats.mean.astype(jnp.float32) + momentum * mean,
-        var=(1.0 - momentum) * stats.var.astype(jnp.float32) + momentum * unbiased,
+        mean=((1.0 - momentum) * stats.mean.astype(jnp.float32)
+              + momentum * mean).astype(stats.mean.dtype),
+        var=((1.0 - momentum) * stats.var.astype(jnp.float32)
+             + momentum * unbiased).astype(stats.var.dtype),
     )
     return y.astype(x.dtype), new_stats
 

@@ -11,6 +11,17 @@ flips traced ops to the MXU's native bf16 passes:
 The switch is trace-time: a jit traced under fast_math() bakes DEFAULT
 precision in; traces outside keep HIGHEST. The update math (best/velocity/
 position) stays fp32 either way — only the model forwards relax.
+
+RETRACE CONTRACT: every switch in this module (fast_math, precision_override,
+lowp_io) is a thread-local consulted while TRACING — none of them is part of
+a jit cache key. Calling an already-compiled jitted function under a
+different switch setting silently reuses the stale program. To get a program
+per setting, make the setting visible to jit yourself: construct a fresh
+jitted callable (a new runner/factory closure) per setting, or thread the
+resolved precision in as a static argument. The factories in pso/fitness.py
+and train/ close over the policy at construction time for exactly this
+reason — build one runner per policy, never flip the switch around calls to
+an existing one.
 """
 
 from __future__ import annotations
@@ -45,7 +56,10 @@ def precision_override(level):
     """Trace-time: force every ops/ conv/matmul to `level` (a lax.Precision),
     bypassing the fast_math()/HIGHEST policy. Used by the bench to run fp32
     programs at Precision.HIGH (3-pass bf16x3, ~fp32-accurate) when the
-    backend's HIGHEST lowering is pathologically slow to compile."""
+    backend's HIGHEST lowering is pathologically slow to compile.
+
+    NOT a jit cache key — wrap the TRACE of a freshly constructed runner;
+    see the module docstring's RETRACE CONTRACT."""
     prev = getattr(_state, "override", None)
     _state.override = level
     try:
@@ -78,7 +92,10 @@ def resolve_accum_dtype(operand_dtype, requested):
 def lowp_io(enabled: bool = True):
     """Trace-time switch: low-precision conv/matmul operands produce
     low-precision outputs (see resolve_accum_dtype). Wrap the TRACE of a
-    differentiable bf16 program in this; fp32 programs are unaffected."""
+    differentiable bf16 program in this; fp32 programs are unaffected.
+
+    NOT a jit cache key — wrap the TRACE of a freshly constructed runner;
+    see the module docstring's RETRACE CONTRACT."""
     prev = getattr(_state, "lowp_io", False)
     _state.lowp_io = enabled
     try:

@@ -118,9 +118,11 @@ def test_umap_layout_program_reused_across_fits():
 
 
 def test_savefig_fast_figures_mode(tmp_path, monkeypatch):
-    """GDPT_FAST_FIGURES: most figures become a real (1x1) PNG at the
-    contracted path without rasterizing; a deterministic 1-in-8 filename
-    sample still renders fully; production mode renders everything."""
+    """GDPT_FAST_FIGURES: the first save of each filename pattern always
+    rasterizes (every figure kind gets >=1 real render per process);
+    repeats become a real (1x1) PNG at the contracted path unless the
+    deterministic 1-in-8 path-hash sample hits; production mode renders
+    everything."""
     import zlib
 
     from PIL import Image
@@ -128,8 +130,10 @@ def test_savefig_fast_figures_mode(tmp_path, monkeypatch):
     from gan_discovery_pso_tpu.analysis import reporting as rep
 
     def crc(n):
-        return zlib.crc32(n.encode()) % 8
+        # mirror _render_anyway's key: parent-dir name + filename
+        return zlib.crc32(f"{tmp_path.name}/{n}".encode()) % 8
 
+    # s<i>.png names all share the digit-normalized pattern "sN.png"
     stub_name = next(f"s{i}.png" for i in range(64) if crc(f"s{i}.png") != 0)
     full_name = next(f"s{i}.png" for i in range(64) if crc(f"s{i}.png") == 0)
 
@@ -139,12 +143,16 @@ def test_savefig_fast_figures_mode(tmp_path, monkeypatch):
         assert im.size[0] > 50  # production mode: real raster regardless
 
     monkeypatch.setattr(rep, "_FAST_FIGURES", True)
+    monkeypatch.setattr(rep, "_RENDERED_PATTERNS", set())
     p = rep.plot_convergence([3, 2, 1], tmp_path / stub_name)
     with Image.open(p) as im:
-        assert im.size == (1, 1)  # stubbed, but a real decodable PNG
+        assert im.size[0] > 50  # first save of the pattern: real raster
+    p = rep.plot_convergence([3, 2, 1], tmp_path / stub_name)
+    with Image.open(p) as im:
+        assert im.size == (1, 1)  # repeat, unsampled: decodable 1x1 stub
     p = rep.plot_convergence([3, 2, 1], tmp_path / full_name)
     with Image.open(p) as im:
-        assert im.size[0] > 50  # the sampled subset still rasterizes
+        assert im.size[0] > 50  # repeat pattern but sampled: rasterizes
 
 
 def test_clustering_factory_and_assignment():
