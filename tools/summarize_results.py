@@ -36,9 +36,13 @@ def leg_table() -> str:
         return "_no timings yet_"
     for line in tim.read_text().splitlines():
         r = json.loads(line)
+        if r["rc"] == "skipped":
+            rows.append(f"| {r['leg']} | skipped | — | {r.get('reason', '')} |")
+            continue
         status = "ok" if r["rc"] == 0 else f"FAILED rc={r['rc']}"
         cmd = " ".join(a for a in r["argv"][1:] if not a.startswith("/root"))
-        rows.append(f"| {r['leg']} | {status} | {r['wall_s'] / 60:.1f} | `{cmd}` |")
+        wall = f"{r['wall_s'] / 60:.1f}" if "wall_s" in r else "—"
+        rows.append(f"| {r['leg']} | {status} | {wall} | `{cmd}` |")
     return "\n".join(rows)
 
 
@@ -137,10 +141,10 @@ def cnn_summary() -> str:
 
 
 def other_histories() -> str:
-    """Per-run summaries for inverter / vqvae / extraction stages."""
+    """Per-run summaries for inverter / vqvae / prior / regularize stages."""
     parts = []
     for kind in ("inverter", "vqvae", "pixelcnn_prior", "pso_inverter",
-                 "regularize_inverter"):
+                 "regularize_inverter", "regularize_inverter_statistics"):
         for d in runs(kind, "reports"):
             js = sorted(glob.glob(str(Path(d) / "history_*.jsonl"))) + sorted(
                 glob.glob(str(Path(d) / "general" / "history_*.jsonl")))
@@ -155,6 +159,74 @@ def other_histories() -> str:
                     f"**{Path(d).name}/{Path(hf).name}**: {len(rows)} rows, "
                     "final " + ", ".join(f"{k}={v:.5g}" for k, v in nums.items())
                 )
+            if js:
+                continue
+            # stages without a step history: summarize the exit-time
+            # overall_history.pkl (scalar leaves only)
+            oh = Path(d) / "general" / "overall_history.pkl"
+            if not oh.exists():
+                continue
+            h = pickle.load(open(oh, "rb"))
+            if not isinstance(h, dict):
+                continue
+            nums = {}
+            for k, v in h.items():
+                if isinstance(v, (int, float)):
+                    nums[k] = v
+                elif isinstance(v, (list, tuple)) and v and isinstance(
+                        v[-1], (int, float)):
+                    nums[f"{k}[-1]"] = v[-1]
+            if nums:
+                parts.append(
+                    f"**{Path(d).name}/overall_history.pkl**: "
+                    + ", ".join(f"{k}={v:.5g}" for k, v in sorted(nums.items()))
+                )
+    return "\n\n".join(parts) or "_none yet_"
+
+
+def extraction_summary() -> str:
+    """iid/ood-extract runs: per-class latent artifact counts (the stages
+    emit particle pickles + synthetic-image grids, no scalar history)."""
+    parts = []
+    for kind in ("iid_extract", "ood_extract"):
+        for d in runs(kind, "data/interim"):
+            npz = sorted(glob.glob(str(Path(d) / "particles_*_class_*.npz")))
+            pkl = sorted(glob.glob(str(Path(d) / "particles_*_class_*.pkl")))
+            classes = sorted({p.rsplit("_", 1)[-1].split(".")[0]
+                              for p in npz + pkl})
+            rep = REPO / "reports" / "mnist" / Path(d).name
+            grids = len(list(rep.rglob("synthetic_images_*.png"))) if rep.is_dir() else 0
+            parts.append(
+                f"**{Path(d).name}**: classes {{{', '.join(classes)}}} — "
+                f"{len(npz)} npz + {len(pkl)} pkl latent artifacts, "
+                f"{grids} synthetic-image grids"
+            )
+    return "\n\n".join(parts) or "_none yet_"
+
+
+def analysis_summary() -> str:
+    """pso-analysis* / pso-inverter-analysis runs: artifact inventory (the
+    stages emit figures/GIFs/assignments, not scalar histories)."""
+    parts = []
+    for kind in ("pso_analysis", "pso_analysis_clustering",
+                 "pso_analysis_distance", "pso_inverter_analysis"):
+        for d in runs(kind, "reports"):
+            files = [f for f in Path(d).rglob("*") if f.is_file()]
+            by_ext: dict[str, int] = {}
+            for f in files:
+                by_ext[f.suffix] = by_ext.get(f.suffix, 0) + 1
+            key_files = sorted(
+                f.name for f in files
+                if f.suffix in (".gif", ".json", ".csv", ".pkl")
+                and "src" not in f.parts)[:12]
+            parts.append(
+                f"**{Path(d).name}**: {len(files)} files ("
+                + ", ".join(f"{n}×{e or 'other'}"
+                            for e, n in sorted(by_ext.items(),
+                                               key=lambda kv: -kv[1])[:6])
+                + (")\n  key artifacts: " + ", ".join(f"`{n}`" for n in key_files)
+                   if key_files else ")")
+            )
     return "\n\n".join(parts) or "_none yet_"
 
 
@@ -213,9 +285,17 @@ and particle trajectories (`particles_iid_class_*.npz`) per run dir.
 
 {cnn_summary()}
 
-## Inverter / VQ-VAE / analysis stages
+## Inverter / VQ-VAE / prior / regularize stages
 
 {other_histories()}
+
+## Latent extraction (iid / ood)
+
+{extraction_summary()}
+
+## Latent-space analyses (projection / clustering / distance / patient assignment)
+
+{analysis_summary()}
 
 ## Artifact manifest
 
