@@ -319,11 +319,21 @@ def measure_tpu() -> dict:
         log(f"throughput-mode secondary skipped: {e!r}")
 
     gan_imgs = None
+    gan_imgs_fp32 = None
+    train_mfu = None
+    train_gate_ok = None
+    train_gate_diff = None
     try:
         # training throughput: the reference's DCGAN workload (batch 128,
         # fused D+G adversarial step incl. label smoothing, util_dcgan.py
         # :184-223 / configs/dcgan_mnist.yaml:181-193), steps pipelined and
-        # barriered by a real metric transfer like the headline
+        # barriered by a real metric transfer like the headline.
+        # FLAGSHIP train path: compute_dtype=bf16 (train/dcgan.py mixed
+        # precision — fp32 master params, bf16 model compute), GATED on the
+        # fp32(fast_math) step's 30-step loss trajectory: if the mean
+        # |loss_bf16 - loss_fp32| over gen+disc exceeds the gate, the
+        # headline falls back to the fp32 number. MFU = XLA cost-analysis
+        # FLOPs of the headline step x steps/s / chip bf16 peak.
         from gan_discovery_pso_tpu.models import DiscriminatorDef
         from gan_discovery_pso_tpu.train import gan_init, make_gan_train_step
 
@@ -333,20 +343,62 @@ def measure_tpu() -> dict:
         gdef = GeneratorDef(z_dim=DIM)
         # gan_init already jits its fused init program internally
         gstate, _tx = gan_init(keys("gan"), gdef, DiscriminatorDef(), adam)
-        step = jax.jit(make_gan_train_step(gdef, adam))
+        step32 = jax.jit(make_gan_train_step(gdef, adam))
+        step16 = jax.jit(make_gan_train_step(gdef, adam,
+                                             compute_dtype=jnp.bfloat16))
         bs_gan = 128
         real = jax.random.uniform(keys("gan_real"), (bs_gan, 1, 28, 28),
                                   jnp.float32, -1.0, 1.0)
-        with fast_math():
-            st, metrics = step(gstate, real, keys("gan_step"))
-        np.asarray(metrics["loss_gen"])  # real-transfer barrier
-        n_steps = 30
-        t0 = time.time()
-        for i in range(n_steps):
-            st, metrics = step(st, real, jax.random.key(i))
-        np.asarray(metrics["loss_gen"])  # in-order queue: one-RTT barrier
-        gan_imgs = bs_gan * n_steps / (time.time() - t0)
-        log(f"dcgan fused train step (batch {bs_gan}): {gan_imgs:.0f} imgs/s")
+
+        def measure_step(step, n_steps=30):
+            with fast_math():  # tracing happens on the first call
+                st, metrics = step(gstate, real, keys("gan_step"))
+            np.asarray(metrics["loss_gen"])  # real-transfer barrier
+            t0 = time.time()
+            for i in range(n_steps):
+                st, metrics = step(st, real, jax.random.key(i))
+            np.asarray(metrics["loss_gen"])  # in-order queue: 1-RTT barrier
+            return bs_gan * n_steps / (time.time() - t0)
+
+        def loss_trajectory(step, n=30):
+            st, tr = gstate, []
+            for i in range(n):
+                st, m = step(st, real, jax.random.key(1000 + i))
+                tr.append([float(m["loss_gen"]), float(m["loss_disc"])])
+            return np.asarray(tr)
+
+        imgs16 = measure_step(step16)
+        imgs32 = measure_step(step32)
+        gan_imgs_fp32 = imgs32
+        # 30-step loss-trajectory gate (bf16 vs fp32 from the same init/data;
+        # threshold calibrated from tools/bench_ab.py train_bf16 — see
+        # docs/BENCH.md round-4 table)
+        t32 = loss_trajectory(step32)
+        t16 = loss_trajectory(step16)
+        train_gate_diff = float(np.abs(t32 - t16).mean())
+        train_gate = float(os.environ.get("GDPT_TRAIN_GATE", 0.25))
+        train_gate_ok = train_gate_diff <= train_gate
+        gan_imgs = imgs16 if train_gate_ok else imgs32
+        log(f"train gate: mean |loss_bf16 - loss_fp32| over 30 steps = "
+            f"{train_gate_diff:.4f} "
+            f"({'PASS' if train_gate_ok else 'FAIL -> fp32 headline'})")
+        try:
+            maker = (make_gan_train_step(gdef, adam,
+                                         compute_dtype=jnp.bfloat16)
+                     if train_gate_ok else make_gan_train_step(gdef, adam))
+            with fast_math():
+                lowered = jax.jit(maker).lower(gstate, real, keys("gan_step"))
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_step = float(cost.get("flops", 0.0)) or None
+            if flops_step:
+                train_mfu = flops_step * gan_imgs / bs_gan / PEAK_FLOPS
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log(f"train cost analysis unavailable: {e!r}")
+        log(f"dcgan fused train step (batch {bs_gan}): {gan_imgs:.0f} imgs/s "
+            f"(bf16 {imgs16:.0f}, fp32 {imgs32:.0f}"
+            + (f", MFU {train_mfu * 100:.1f}%" if train_mfu else "") + ")")
     except Exception as e:
         log(f"gan train-step secondary skipped: {e!r}")
 
@@ -381,6 +433,10 @@ def measure_tpu() -> dict:
         "bf16_throughput_mode_evals_per_sec": tp_evals,
         "throughput_mode_mfu": tp_mfu,
         "dcgan_train_imgs_per_sec": gan_imgs,
+        "dcgan_train_imgs_per_sec_fp32": gan_imgs_fp32,
+        "dcgan_train_mfu": train_mfu,
+        "train_gate_ok": train_gate_ok,
+        "train_gate_meandiff": train_gate_diff,
     }
 
 
@@ -453,6 +509,11 @@ def main():
                     r["bf16_throughput_mode_evals_per_sec"]),
                 "throughput_mode_mfu": _rnd(r["throughput_mode_mfu"], 4),
                 "dcgan_train_imgs_per_sec": _rnd(r["dcgan_train_imgs_per_sec"]),
+                "dcgan_train_imgs_per_sec_fp32": _rnd(
+                    r["dcgan_train_imgs_per_sec_fp32"]),
+                "dcgan_train_mfu": _rnd(r["dcgan_train_mfu"], 4),
+                "train_gate_ok": r["train_gate_ok"],
+                "train_gate_meandiff": _rnd(r["train_gate_meandiff"], 5),
             }
         )
     )

@@ -111,7 +111,11 @@ def main(argv=None):
         p.add_argument("--path-cnn", default=None, help="cnn stage model dir")
         p.add_argument("--path-inverter", default=None)
         p.add_argument("--path-pso", default=None, help="pso_discovery interim dir")
-        p.add_argument("--path-ood-pso", default=None, help="pso_inverter interim dir")
+        p.add_argument("--path-ood-pso", action="append", default=None,
+                       help="pso_inverter interim dir; repeatable — the "
+                            "reference's inverter runs are per-patient, so "
+                            "a multi-patient OoD overlay needs one dir per "
+                            "inverted patient")
         p.add_argument("--path-vqvae", default=None, help="vqvae stage model dir")
         if name in ("pso-inverter", "pso-inverter-analysis"):
             p.add_argument("--ood-patient", type=int, default=None)
@@ -426,7 +430,7 @@ def dispatch(args):
             if ood_patient is None:
                 ood_patient = int(ctx.cfg.pso_inverter.ood_patient)
             P.run_pso_inverter_analysis(
-                ctx, args.path_pso, args.path_ood_pso, ood_patient)
+                ctx, args.path_pso, list(args.path_ood_pso), ood_patient)
         elif stage == "claro-preprocess":
             # end-to-end from config + manifests (reference
             # src/data/dataset_preparation.py:78-103); --tiny caps slices

@@ -34,11 +34,32 @@ def _seed(ctx) -> int:
 
     return int(cfg_default(ctx.cfg, "seed", 42))
 
-def _stack_classes(interim_dir, classes, kind="iid"):
-    """Final positions of every class stacked: ([sum_N, d], labels)."""
+def _stack_classes(interim_dirs, classes, kind="iid"):
+    """Final positions of every class stacked: ([sum_N, d], labels).
+
+    `interim_dirs` may be one dir or a sequence of dirs searched in order —
+    the reference's pso_inverter runs are per-patient (one interim dir each,
+    start_pso_optimize.sh:3-16), so an OoD overlay across patients spans
+    several run dirs."""
+    from pathlib import Path
+
+    if isinstance(interim_dirs, (str, Path)):
+        interim_dirs = [interim_dirs]
     mats, labels = [], []
     for c in classes:
-        m = load_final_particle_positions(interim_dir, c, kind)
+        errs = []
+        for d in interim_dirs:
+            try:
+                m = load_final_particle_positions(d, c, kind)
+                break
+            except FileNotFoundError as e:
+                errs.append(e)
+        else:
+            raise FileNotFoundError(
+                f"no {kind} particle artifact for class {c} in any of "
+                f"{[str(d) for d in interim_dirs]} — for OoD overlays, pass "
+                "one --path-ood-pso per inverted patient"
+            ) from errs[-1]
         mats.append(m)
         labels.append(np.full(len(m), c))
     return np.concatenate(mats, 0), np.concatenate(labels, 0)

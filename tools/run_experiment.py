@@ -317,6 +317,17 @@ def main(only: set[str] | None = None) -> int:
          "--path-cnn", produced_dir("cnn_multipatient", "models")]
         + dim_sets(10) + fm),
         deps=("dcgan_z10", "inverter_adv_z10", "cnn_multipatient"))
+    # second OoD patient: the reference sweeps EVERY patient through
+    # pso_inverter (start_pso_optimize.sh:3-16); patients {1, 5} are the
+    # dcgan_mnist split's OoD classes, and the clustering overlay needs an
+    # inverted run per OoD class
+    dv.leg("pso_inverter_p1_z10", lambda: (
+        ["pso-inverter", "--ood-patient", "1",
+         "--path-gan", gan10(),
+         "--path-inverter", inv10(),
+         "--path-cnn", produced_dir("cnn_multipatient", "models")]
+        + dim_sets(10) + fm),
+        deps=("dcgan_z10", "inverter_adv_z10", "cnn_multipatient"))
     dv.leg("regularize_inverter_z10", lambda: (
         ["regularize-inverter", "--path-gan", gan10(),
          "--path-inverter", inv10()] + dim_sets(10) + fm),
@@ -350,8 +361,10 @@ def main(only: set[str] | None = None) -> int:
     dv.leg("pso_analysis_clustering_z10", lambda: (
         ["pso-analysis-clustering",
          "--path-pso", produced_dir("pso_z10", "interim"),
+         "--path-ood-pso", produced_dir("pso_inverter_p1_z10", "interim"),
          "--path-ood-pso", produced_dir("pso_inverter_p5_z10", "interim")]
-        + dim_sets(10)), deps=("pso_z10", "pso_inverter_p5_z10"))
+        + dim_sets(10)),
+        deps=("pso_z10", "pso_inverter_p1_z10", "pso_inverter_p5_z10"))
     dv.leg("pso_analysis_distance_z10", lambda: (
         ["pso-analysis-distance",
          "--path-pso", produced_dir("pso_z10", "interim")]

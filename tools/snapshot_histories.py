@@ -60,7 +60,11 @@ def main() -> None:
         put_log_excerpt(run / "log.txt", rel)
         for pat in ("history_*.jsonl", "history_*.csv",
                     "general/history_*.jsonl", "general/overall_history.json",
-                    "general/encoded_samples*.csv"):
+                    "general/encoded_samples*.csv",
+                    # analysis-stage machine-readable payloads
+                    "ood_patient_*_cluster_assignment.json",
+                    "distance_summary.json",
+                    "ood_cluster_assignment.json"):
             for f in glob.glob(str(run / pat)):
                 put(Path(f), rel)
         # one representative figure per run kind

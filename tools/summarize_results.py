@@ -169,13 +169,26 @@ def other_histories() -> str:
             h = pickle.load(open(oh, "rb"))
             if not isinstance(h, dict):
                 continue
-            nums = {}
-            for k, v in h.items():
-                if isinstance(v, (int, float)):
-                    nums[k] = v
-                elif isinstance(v, (list, tuple)) and v and isinstance(
-                        v[-1], (int, float)):
-                    nums[f"{k}[-1]"] = v[-1]
+
+            def scalar(v):
+                try:
+                    return float(v)
+                except (TypeError, ValueError):
+                    return None
+
+            def collect(d, prefix=""):
+                out = {}
+                for k, v in d.items():
+                    if isinstance(v, dict):
+                        out.update(collect(v, f"{prefix}{k}."))
+                    elif (s := scalar(v)) is not None:
+                        out[f"{prefix}{k}"] = s
+                    elif isinstance(v, (list, tuple)) and v and (
+                            s := scalar(v[-1])) is not None:
+                        out[f"{prefix}{k}[-1]"] = s
+                return out
+
+            nums = collect(h)
             if nums:
                 parts.append(
                     f"**{Path(d).name}/overall_history.pkl**: "
