@@ -30,7 +30,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    scal_ref,  # SMEM [6]: w, w_cogn, w_soci, g_best_val, g_prev_val, n_valid
+    scal_ref,  # SMEM [1, 6]: w, w_cogn, w_soci, g_best_val, g_prev_val, n_valid
     pos_ref,  # VMEM [n, d]
     vel_ref,
     pbp_ref,  # p_best_pos [n, d]
@@ -44,14 +44,14 @@ def _kernel(
     out_pbp_ref,
     out_pbv_ref,
     out_gbp_ref,
-    out_scal_ref,  # SMEM [3]: g_best_val, g_prev_val, g_improved(0/1)
+    out_scal_ref,  # SMEM [1, 3]: g_best_val, g_prev_val, g_improved(0/1)
 ):
-    w = scal_ref[0]
-    w_cogn = scal_ref[1]
-    w_soci = scal_ref[2]
-    g_best_val = scal_ref[3]
-    g_prev_val = scal_ref[4]
-    n_valid = scal_ref[5]
+    w = scal_ref[0, 0]
+    w_cogn = scal_ref[0, 1]
+    w_soci = scal_ref[0, 2]
+    g_best_val = scal_ref[0, 3]
+    g_prev_val = scal_ref[0, 4]
+    n_valid = scal_ref[0, 5]
 
     n = pos_ref.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 0)
@@ -83,11 +83,11 @@ def _kernel(
     out_gbp_ref[:] = jnp.broadcast_to(gbp_new, out_gbp_ref.shape)
 
     first = g_best_val == jnp.inf
-    out_scal_ref[0] = jnp.where(g_improved, cand_val, g_best_val)
-    out_scal_ref[1] = jnp.where(
+    out_scal_ref[0, 0] = jnp.where(g_improved, cand_val, g_best_val)
+    out_scal_ref[0, 1] = jnp.where(
         jnp.logical_and(g_improved, jnp.logical_not(first)), g_best_val, g_prev_val
     )
-    out_scal_ref[2] = jnp.where(
+    out_scal_ref[0, 2] = jnp.where(
         jnp.logical_and(g_improved, jnp.logical_not(first)), 1.0, 0.0
     )
 
@@ -132,6 +132,10 @@ def pso_update_pallas(
         col = jnp.pad(v.astype(jnp.float32), (0, n_pad - n), constant_values=fill)
         return jnp.broadcast_to(col[:, None], (n_pad, 128))
 
+    # 2-D [1, 6] (not [6]): under a class vmap the batch dim lands in front,
+    # and Mosaic's SMEM block check wants the LAST TWO dims of the block to
+    # equal the array dims — with a 1-D operand the batch dim itself becomes
+    # the second-to-last dim and the (Squeezed, 6) block is rejected.
     scal = jnp.stack(
         [
             jnp.float32(w_inertia),
@@ -141,7 +145,7 @@ def pso_update_pallas(
             jnp.float32(g_prev_val),
             jnp.float32(n),
         ]
-    )
+    )[None, :]
     gbp = jnp.broadcast_to(
         jnp.pad(g_best_pos, (0, d_pad - d))[None, :], (8, d_pad)
     )
@@ -152,7 +156,7 @@ def pso_update_pallas(
         jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),  # pbp
         jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),  # pbv
         jax.ShapeDtypeStruct((8, d_pad), jnp.float32),  # gbp
-        jax.ShapeDtypeStruct((3,), jnp.float32),  # scalars out
+        jax.ShapeDtypeStruct((1, 3), jnp.float32),  # scalars out
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -185,7 +189,7 @@ def pso_update_pallas(
         pbp[:n, :d],
         pbv[:n, 0],
         gbp_out[0, :d],
-        scal_out[0],
-        scal_out[1],
-        scal_out[2] > 0.5,
+        scal_out[0, 0],
+        scal_out[0, 1],
+        scal_out[0, 2] > 0.5,
     )

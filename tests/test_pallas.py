@@ -103,3 +103,40 @@ def test_pallas_rescale_matches_xla():
     assert rr.shape == (9, 300)
     np.testing.assert_allclose(rr.min(axis=1), 0.0, atol=0)
     np.testing.assert_allclose(rr.max(axis=1), 1.0, atol=0)
+
+
+def test_pallas_update_under_class_vmap():
+    """The batched runner calls the kernel under a class vmap (runner.py
+    one-per-class); the batched lowering is where the TPU SMEM block rule
+    bites (operands must keep 2-D last-two dims — swarm_update.py scal),
+    and the semantics must stay per-class independent."""
+    hp = PsoConfig(n_particles=16, dim_space=6, w_inertia=0.73,
+                   w_cognitive=1.496, w_social=1.496)
+    n_cls = 4
+    keys = jax.random.split(jax.random.key(2), n_cls)
+    states = jax.vmap(lambda k: swarm_init(k, hp.n_particles, hp.dim_space,
+                                           hp.w_inertia))(keys)
+    fit_fn = make_analytic_fitness(analytic.sphere)
+    fitness = jax.vmap(fit_fn)(states.positions)
+    rng = np.random.RandomState(3)
+    r1 = jnp.asarray(rng.rand(n_cls, hp.n_particles), jnp.float32)
+    r2 = jnp.asarray(rng.rand(n_cls, hp.n_particles), jnp.float32)
+
+    def one(state, fit, a, b):
+        return pso_update_pallas(
+            state.positions, state.velocities, state.p_best_pos,
+            state.p_best_val, fit, a, b, state.g_best_pos, state.g_best_val,
+            state.g_prev_val, hp.w_inertia, hp.w_cognitive, hp.w_social,
+            interpret=True,
+        )
+
+    batched = jax.vmap(one)(states, fitness, r1, r2)
+    for c in range(n_cls):
+        state_c = jax.tree.map(lambda x, c=c: x[c], states)
+        ref = pso_iteration(state_c, fitness[c], r1[c], r2[c], hp)
+        np.testing.assert_allclose(np.asarray(batched[0][c]),
+                                   np.asarray(ref.positions), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(batched[4][c]),
+                                   np.asarray(ref.g_best_pos), rtol=1e-6)
+        np.testing.assert_allclose(float(batched[5][c]),
+                                   float(ref.g_best_val), rtol=1e-6)

@@ -43,6 +43,10 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+# invoked as `python tools/bench_ab.py`: sys.path[0] is tools/, not the
+# repo root — the in-process legs need the package importable.
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 OUT = REPO / "experiments" / "bench_ab.jsonl"
 PEAK_FLOPS = float(os.environ.get("GDPT_TPU_PEAK_FLOPS", 197e12))
 
