@@ -75,6 +75,35 @@ def dcgan_tables() -> str:
     return "\n\n".join(parts) or "_no dcgan runs yet_"
 
 
+def dim_curve_table() -> str:
+    """One row per discovery run: the reference sweep's latent-dim curve
+    (start.sh:11 trains a GAN + discovery per dim; this is the cross-dim
+    record its per-run histories imply)."""
+    rows = []
+    for d in runs("pso_discovery", "reports"):
+        oh = Path(d) / "general" / "overall_history.json"
+        if not oh.exists():
+            continue
+        h = jread(oh)
+        finals = [series["global_best_val"][-1] for series in h.values()]
+        npz = sorted(glob.glob(str(REPO / "data/interim/mnist" /
+                                   Path(d).name / "particles_iid_class_*.npz")))
+        if not (npz and finals):
+            continue
+        import numpy as np
+
+        dim = np.load(npz[0])["positions"].shape[-1]
+        rows.append((dim, Path(d).name, min(finals), sum(finals) / len(finals),
+                     max(finals)))
+    if not rows:
+        return "_no pso runs yet_"
+    out = ["| dim_space | run | min g_best | mean g_best | max g_best |",
+           "|---|---|---|---|---|"]
+    for dim, name, lo, mean, hi in sorted(rows):
+        out.append(f"| {dim} | {name} | {lo:.5f} | {mean:.5f} | {hi:.5f} |")
+    return "\n".join(out)
+
+
 def pso_tables() -> str:
     parts = []
     for d in runs("pso_discovery", "reports"):
@@ -258,8 +287,11 @@ def main():
 
 The reference's complete experiment chain (`/root/reference/src/bash/start.sh:11-36`,
 execution order `readme_cnr.txt:46-87`) executed end-to-end on one TPU v5e
-chip through the public CLI by `tools/run_experiment.py`. Latent dims
-{{2, 10, 100}} cover the reference sweep's endpoints plus its analysis dim.
+chip through the public CLI by `tools/run_experiment.py`, covering the
+reference sweep's full latent-dim curve {{2, 3, 4, 6, 8, 10, 20, 30, 100}}
+(start.sh:11) — a trained DCGAN + 8-class 50-iteration discovery per dim,
+with the inversion/VQ-VAE/analysis stages at the reference's analysis dims
+(10 and 100).
 
 **Data note:** this environment has no MNIST on disk and zero egress, so every
 stage runs on the deterministic synthetic-digit fallback
@@ -288,6 +320,10 @@ per batch, fid/is/rec per epoch); fixed-noise superimages per epoch in
 `general/`.
 
 ## PSO discovery (50 iterations, 8 IiD classes, batched runner)
+
+### Latent-dim curve (converged g_best across classes, per dim)
+
+{dim_curve_table()}
 
 {pso_tables()}
 
