@@ -292,9 +292,14 @@ def measure_tpu() -> dict:
     try:
         # throughput mode: the inverter-sized 256-particle swarms, still
         # 8-class batched (2048 fitness forwards per iteration) — the
-        # scaling-headroom number for production sweeps
+        # scaling-headroom number for production sweeps. fitness_chunk=64
+        # scans the fitness in 8x64=512-image chunks so assessor residual
+        # activations stay at the HBM streaming size: +49% over the
+        # unchunked program with bit-identical g_best (bench_ab tp_chunk,
+        # docs/BENCH.md round-4 table), and ~30x faster cold compile.
         hp256 = PsoConfig(n_iterations=N_ITERATIONS, n_particles=256, dim_space=DIM)
-        run_tp = make_batched_discovery_runner(rdef, hp256, dtype=jnp.bfloat16)
+        run_tp = make_batched_discovery_runner(rdef, hp256, dtype=jnp.bfloat16,
+                                               fitness_chunk=64)
 
         def call_tp(salt: int = 0):
             sk = jax.vmap(jax.random.fold_in, (0, None))(swarm_keys, salt)

@@ -72,10 +72,13 @@ def record(leg: str, **kw):
 # --------------------------------------------------------------------------
 
 _BISECT_SNIPPET = r"""
-import json, sys, time
-import jax, jax.numpy as jnp, numpy as np
+import json, os, sys, time
 case = json.loads(sys.argv[1])
-jax.config.update("jax_compilation_cache_dir", case["cache_dir"])
+# BEFORE the package import: core/__init__.py resets the compile-cache dir
+# to GDPT_COMPILE_CACHE (default /tmp/jax_cache) at import time, which
+# would silently clobber a jax.config.update made here.
+os.environ["GDPT_COMPILE_CACHE"] = case["cache_dir"]
+import jax, jax.numpy as jnp, numpy as np
 from gan_discovery_pso_tpu.core import seed_all, jit_init
 from gan_discovery_pso_tpu.core.config import PsoConfig
 from gan_discovery_pso_tpu.models import GeneratorDef, ResNetDef, generator_init, resnet_init
