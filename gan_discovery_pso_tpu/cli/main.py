@@ -290,6 +290,17 @@ def _load_cnn(args, ctx):
     return params, state, rdef
 
 
+def _stage_lock(name: str):
+    """One TPU holder at a time, as a mechanism (core/tpulock.py): every
+    device-using stage takes the host-local lease before first jax use, so a
+    stage can never time-slice the chip under a running bench or sweep leg
+    (the round-4 contention post-mortem, docs/BENCH.md). No-op when JAX is
+    pinned to CPU (tests) or GDPT_NO_TPU_LOCK=1."""
+    from gan_discovery_pso_tpu.core.tpulock import tpu_lock
+
+    return tpu_lock(f"cli:{name}")
+
+
 def dispatch(args):
     stage = args.stage
 
@@ -336,7 +347,7 @@ def dispatch(args):
     from gan_discovery_pso_tpu.ops.precision import fast_math
 
     fm = fast_math() if getattr(args, "fast_math", False) else contextlib.nullcontext()
-    with ctx.tee(), fm:
+    with _stage_lock(stage), ctx.tee(), fm:
         if stage == "cae":
             P.run_cae(ctx, epochs=_epochs(args))
         elif stage == "classifiers":

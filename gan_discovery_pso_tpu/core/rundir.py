@@ -144,13 +144,38 @@ class RunDir:
     def write_overall_history(self, history: dict) -> None:
         """`general/overall_history.pkl` — the history pickle every
         reference entry script writes at exit (e.g. cae.py:228-231,
-        dcgan.py:211-214, cnn.py:200-205)."""
+        dcgan.py:211-214, cnn.py:200-205) — plus a readable JSON twin (the
+        snapshot tooling commits only compact machine-readable evidence,
+        tools/snapshot_histories.py; non-serializable leaves degrade to
+        repr rather than failing the stage)."""
         import pickle
 
         general = self.reports_dir / "general"
         general.mkdir(parents=True, exist_ok=True)
         with open(general / "overall_history.pkl", "wb") as f:
             pickle.dump(history, f)
+
+        import numpy as np
+
+        def enc(o):
+            if isinstance(o, dict):
+                return {str(k): enc(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [enc(v) for v in o]
+            if o is None or isinstance(o, (str, bool, int, float)):
+                return o
+            try:
+                a = np.asarray(o)
+                if a.ndim == 0:
+                    return a.item()
+                if a.size <= 65536 and a.dtype.kind in "bifu":
+                    return a.tolist()
+            except Exception:
+                pass
+            return repr(o)
+
+        with open(general / "overall_history.json", "w") as f:
+            json.dump(enc(history), f, indent=2, default=repr)
 
     def __repr__(self):
         return f"RunDir({self.name}, reports={self.reports_dir})"

@@ -196,18 +196,42 @@ def run_pso_discovery_batched(
 
     # params are jit ARGUMENTS (pso/runner.py): one compiled executable
     # serves every model of the same shapes across sweeps
-    from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
+    from gan_discovery_pso_tpu.pso import (
+        make_batched_discovery_runner,
+        make_chunked_batched_discovery_runner,
+        resolve_fitness_chunk,
+    )
 
-    # opt-in HBM-streaming knob for large swarms (--set
-    # trainer_pso.fitness_chunk=32): evaluate each swarm's fitness in
+    # HBM-streaming chunking for large swarms, ON BY DEFAULT at >=256
+    # particles ('auto' in the shipped config; override with --set
+    # trainer_pso.fitness_chunk=N or =0): evaluate each swarm's fitness in
     # sequential in-program chunks — identical values (pso/runner.py), keeps
     # assessor residual activations at the streaming size when
-    # n_classes*n_particles forwards would otherwise spill (docs/BENCH.md)
-    fitness_chunk = ctx.cfg.trainer_pso.get("fitness_chunk")
-    run = make_batched_discovery_runner(
-        cnn_def, hp, control=control, threshold=threshold, dtype=fast_math_dtype,
-        fitness_chunk=int(fitness_chunk) if fitness_chunk else None,
+    # n_classes*n_particles forwards would otherwise spill (docs/BENCH.md
+    # round-4 tp_chunk: +49% evals/s, bit-identical g_best)
+    fitness_chunk = resolve_fitness_chunk(
+        ctx.cfg.trainer_pso.get("fitness_chunk", "auto"), hp.n_particles)
+    kw = dict(control=control, threshold=threshold, dtype=fast_math_dtype,
+              fitness_chunk=fitness_chunk)
+    # fp32 (HIGHEST-precision) 50-iteration monoliths compile superlinearly
+    # in program length on this backend (316-506 s cold vs 38 s for a
+    # 10-iteration chunk chain with the IDENTICAL trajectory — docs/BENCH.md
+    # round-4 compile_bisect). Default the cold parity path to the chunked
+    # program; --set trainer_pso.program=monolithic restores the single
+    # program, =chunked forces chunking for fast-math runs too. Early-stop
+    # runs keep the monolith under 'auto': the chunked runner's host
+    # early-exit truncates history at chunk granularity.
+    program = str(ctx.cfg.trainer_pso.get("program", "auto"))
+    chunk = 10 if hp.n_iterations % 10 == 0 else 0
+    use_chunked = chunk > 1 and hp.n_iterations > chunk and (
+        program == "chunked"
+        or (program == "auto" and fast_math_dtype is None
+            and not hp.early_stopping)
     )
+    if use_chunked:
+        run = make_chunked_batched_discovery_runner(cnn_def, hp, chunk, **kw)
+    else:
+        run = make_batched_discovery_runner(cnn_def, hp, **kw)
     keys = jnp.stack([
         ctx.keys.child(f"class_{label}")("pso") for label in classes
     ])

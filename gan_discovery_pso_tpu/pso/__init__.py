@@ -34,4 +34,5 @@ from gan_discovery_pso_tpu.pso.runner import (
     make_chunked_batched_discovery_runner,
     make_discovery_runner,
     make_inverter_runner,
+    resolve_fitness_chunk,
 )

@@ -23,6 +23,28 @@ from gan_discovery_pso_tpu.pso.fitness import (
 from gan_discovery_pso_tpu.pso.swarm import optimize
 
 
+def resolve_fitness_chunk(value, n_particles: int) -> int | None:
+    """Resolve the `trainer_pso.fitness_chunk` config knob to a chunk size.
+
+    'auto' (the shipped default, configs/dcgan_mnist.yaml) or an absent key
+    enables the measured production default: chunk 64 for swarms of >=256
+    particles — the bench_ab tp_chunk result (+49% evals/s at 8c x 256p with
+    bit-identical g_best, docs/BENCH.md round-4 table) — and no chunking for
+    small swarms, where the whole swarm already fits the HBM streaming size.
+    Explicit int → that chunk (validated); 0/false/null → disabled.
+    """
+    if value in (None, "auto"):
+        return 64 if n_particles >= 256 and n_particles % 64 == 0 else None
+    if not value:
+        return None
+    v = int(value)
+    if v <= 0 or n_particles % v:
+        raise ValueError(
+            f"fitness_chunk={v} must be positive and divide "
+            f"n_particles={n_particles}")
+    return v if v < n_particles else None
+
+
 def make_discovery_runner(
     cnn_def: ResNetDef,
     hp: PsoConfig,
@@ -59,10 +81,20 @@ def make_batched_discovery_runner(
     rescale_impl: str = "xla",
     fitness_chunk: int | None = None,
     use_pallas: bool = False,
+    stack: int | None = None,
 ):
     """The flagship batched multi-class sweep with params as ARGUMENTS:
     run(keys[C], gen_params, gen_state, cnn_params, cnn_state, class_idxs[C])
     → vmapped (finals, histories, inits) with a leading class axis.
+
+    stack=S fuses S INDEPENDENT class-sweeps into one program: keys gain a
+    leading stack axis ([S, C]) and every fitness iteration batches
+    S x n_classes x n_particles forwards. Swarms stay fully independent
+    (vmap axes only — the reference's swarms never communicate, SURVEY.md
+    §5.8); member s reproduces exactly what the unstacked runner computes
+    from keys[s]. This is the throughput geometry for sweeps that keep many
+    optimizes in flight anyway (bench.py flagship): bigger per-dispatch MXU
+    batches amortize the small-kernel overhead between matmuls.
 
     One compile serves every model of the same shapes (the former vmapped
     path in pipelines/pso_discovery.py closed over params and recompiled per
@@ -111,7 +143,10 @@ def make_batched_discovery_runner(
             return optimize(key, fitness, hp, unroll=unroll,
                             use_pallas=use_pallas)
 
-        return jax.vmap(one, in_axes=(0, 0))(keys, class_idxs)
+        per_class = jax.vmap(one, in_axes=(0, 0))
+        if stack:
+            return jax.vmap(per_class, in_axes=(0, None))(keys, class_idxs)
+        return per_class(keys, class_idxs)
 
     return run
 
@@ -199,7 +234,12 @@ def make_chunked_batched_discovery_runner(
             keys, gen_params, gen_state, cnn_params, cnn_state, class_idxs)
         parts = [hist]
         for _ in range(hp.n_iterations // chunk - 1):
-            if bool(np.asarray(finals.done).all()):
+            # the host early-exit needs a result transfer (a dispatch
+            # barrier); with early stopping disabled `done` can never latch
+            # (pso_iteration's stop is constant False), so skip the check and
+            # let ALL chunks enqueue via async dispatch — the chunk chain
+            # then pipelines exactly like the monolithic program.
+            if hp.early_stopping and bool(np.asarray(finals.done).all()):
                 break
             finals, hist, _ = resume(
                 keys, gen_params, gen_state, cnn_params, cnn_state,

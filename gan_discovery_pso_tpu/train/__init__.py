@@ -9,6 +9,7 @@ from gan_discovery_pso_tpu.train.common import (
 from gan_discovery_pso_tpu.train.dcgan import (
     GanTrainState,
     gan_init,
+    make_gan_train_scan_step,
     make_gan_train_step,
     make_sampler,
 )

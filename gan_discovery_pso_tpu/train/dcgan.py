@@ -157,6 +157,37 @@ def make_gan_train_step(gdef: GeneratorDef, adam: AdamConfig, label_smoothing: b
     return train_step
 
 
+def make_gan_train_scan_step(gdef: GeneratorDef, adam: AdamConfig,
+                             label_smoothing: bool = True,
+                             compute_dtype=None):
+    """Fused multi-step trainer: K sequential train steps as ONE program.
+
+    scan_step(state, reals[K, B, C, H, W], key) -> (state, metrics) where
+    metrics arrays carry a leading per-step axis. Step i runs the exact
+    single-step math (make_gan_train_step) with jax.random.fold_in(key, i),
+    matching K sequential step() calls with those keys to float-ulp level
+    (tests/test_train.py parity; XLA fuses the scan body differently than
+    the standalone step program, so last-bit reassociation differs while
+    the arithmetic is identical) — the fusion only removes K-1 program
+    dispatches and lets XLA schedule across step boundaries. The
+    per-step program at batch 128 on 28x28 images is dispatch-bound on this
+    backend (the reference workload util_dcgan.py:184-223 has ~us-scale
+    model FLOPs per step); scanning K steps per dispatch amortizes that
+    overhead into real MXU work (bench.py dcgan_train measurements)."""
+    step = make_gan_train_step(gdef, adam, label_smoothing=label_smoothing,
+                               compute_dtype=compute_dtype)
+
+    def scan_step(state: GanTrainState, reals: jax.Array, key: jax.Array):
+        def body(st, xs):
+            i, real = xs
+            return step(st, real, jax.random.fold_in(key, i))
+
+        n = reals.shape[0]
+        return jax.lax.scan(body, state, (jnp.arange(n), reals))
+
+    return scan_step
+
+
 def make_sampler(gdef: GeneratorDef):
     """Batched synthetic-image sampler: one fused program generating B images
     rescaled per-sample to [0,1] — replaces the reference's DataLoader that

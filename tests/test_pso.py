@@ -513,3 +513,57 @@ def test_pso_iteration_matches_numpy_randomized_configs(seed):
         if not latched:
             assert bool(state.done) == ref.should_stop()
             latched = bool(state.done)
+
+
+def test_stacked_batched_runner_matches_unstacked_members():
+    """make_batched_discovery_runner(stack=S): S independent class-sweeps
+    fused into one program (bench.py's stacked flagship). Member s must
+    reproduce EXACTLY what the unstacked runner computes from keys[s] — the
+    stack axis is a vmap, never a semantic change (swarms stay independent,
+    SURVEY.md §5.8)."""
+    from gan_discovery_pso_tpu.models import (GeneratorDef, ResNetDef,
+                                              generator_init, resnet_init)
+    from gan_discovery_pso_tpu.pso import make_batched_discovery_runner
+
+    rdef = ResNetDef("ResNet50", 1, 8, (0, 2, 3, 4, 6, 7, 8, 9))
+    hp = PsoConfig(n_iterations=3, n_particles=4, dim_space=8)
+    gp, gs = generator_init(jax.random.key(0), GeneratorDef(8, 1, 8))
+    rp, rs = resnet_init(jax.random.key(10), rdef, init="glorot_normal")
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    keys = jnp.stack([
+        jnp.stack([jax.random.key(5), jax.random.key(6)]),
+        jnp.stack([jax.random.key(7), jax.random.key(8)]),
+    ])  # [stack=2, classes=2]
+
+    plain = make_batched_discovery_runner(rdef, hp)
+    stacked = make_batched_discovery_runner(rdef, hp, stack=2)
+    f_s, h_s, i_s = stacked(keys, gp, gs, rp, rs, idxs)
+    assert np.asarray(f_s.g_best_val).shape == (2, 2)
+    for m in range(2):
+        f_p, h_p, i_p = plain(keys[m], gp, gs, rp, rs, idxs)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.map(lambda a, m=m: a[m], f_s).g_best_val),
+            np.asarray(f_p.g_best_val), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(h_s.fitness)[m], np.asarray(h_p.fitness),
+            rtol=1e-6, atol=1e-7)
+
+
+def test_resolve_fitness_chunk_defaults():
+    """'auto' (the shipped config default) turns chunking on exactly at the
+    measured production threshold: 64 for >=256-particle swarms, off below
+    (docs/BENCH.md tp_chunk: +49% with bit-identical g_best)."""
+    from gan_discovery_pso_tpu.pso import resolve_fitness_chunk
+
+    assert resolve_fitness_chunk("auto", 256) == 64
+    assert resolve_fitness_chunk(None, 512) == 64
+    assert resolve_fitness_chunk("auto", 32) is None
+    assert resolve_fitness_chunk("auto", 300) is None  # 64 doesn't divide
+    assert resolve_fitness_chunk(0, 256) is None
+    assert resolve_fitness_chunk(False, 256) is None
+    assert resolve_fitness_chunk(32, 256) == 32
+    assert resolve_fitness_chunk(256, 256) is None  # chunk == swarm: no-op
+    with pytest.raises(ValueError):
+        resolve_fitness_chunk(48, 256)  # does not divide
+    with pytest.raises(ValueError):
+        resolve_fitness_chunk(-8, 256)

@@ -451,3 +451,68 @@ def test_gan_train_step_bf16_compute_path():
     t32, t16 = np.asarray(traj32), np.asarray(traj16)
     assert np.isfinite(t16).all()
     np.testing.assert_allclose(t16, t32, rtol=0.15, atol=0.05)
+
+
+def test_gan_train_scan_step_matches_sequential_steps():
+    """make_gan_train_scan_step: K scanned steps compute the same math as K
+    sequential make_gan_train_step calls keyed fold_in(key, i) — the fusion
+    (bench.py's dispatch-bound train-path fix) only removes program
+    dispatches. Tolerances are ulp-scale: XLA fuses the scan body
+    differently than the standalone step program, so float reassociation
+    shifts the last bits while the arithmetic is identical."""
+    from gan_discovery_pso_tpu.train.dcgan import (
+        gan_init,
+        make_gan_train_scan_step,
+        make_gan_train_step,
+    )
+
+    gdef = GeneratorDef(z_dim=8, features_g=16)
+    ddef = DiscriminatorDef(features_d=16)
+    state0, _ = gan_init(jax.random.key(3), gdef, ddef, ADAM)
+    step = jax.jit(make_gan_train_step(gdef, ADAM))
+    scan = jax.jit(make_gan_train_scan_step(gdef, ADAM))
+
+    rng = np.random.RandomState(1)
+    reals = jnp.asarray(rng.rand(3, 8, 1, 28, 28) * 2 - 1, jnp.float32)
+    key = jax.random.key(42)
+
+    # K=1: one scanned step vs one sequential step. The LOSSES (computed
+    # before any update) are ulp-tight; the PARAMS already amplify ulp-level
+    # gradient differences through Adam's g/(sqrt(v)+eps) normalization
+    # (sign-like near-zero gradients), so they get an lr-scaled tolerance.
+    s1_seq, m1 = step(state0, reals[0], jax.random.fold_in(key, 0))
+    s1_scan, m1s = scan(state0, reals[:1], key)
+    for name in ("loss_gen", "loss_disc"):
+        np.testing.assert_allclose(float(m1[name]),
+                                   float(np.asarray(m1s[name])[0]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves((s1_seq.gen_params, s1_seq.disc_params)),
+                    jax.tree.leaves((s1_scan.gen_params, s1_scan.disc_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-4)
+
+    # K=3: Adam normalization (grad/(sqrt(v)+eps) with tiny early v)
+    # amplifies the per-step ulp differences across steps, so the multi-step
+    # trajectory agrees loosely, not bitwise
+    s_seq, metrics_seq = state0, []
+    for i in range(3):
+        s_seq, m = step(s_seq, reals[i], jax.random.fold_in(key, i))
+        metrics_seq.append(m)
+    s_scan, m_scan = scan(state0, reals, key)
+    for a, b in zip(jax.tree.leaves((s_seq.gen_params, s_seq.disc_params)),
+                    jax.tree.leaves((s_scan.gen_params, s_scan.disc_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-3)
+    for name in ("loss_gen", "loss_disc"):
+        np.testing.assert_allclose(
+            np.asarray([m[name] for m in metrics_seq]),
+            np.asarray(m_scan[name]), rtol=1e-2, atol=5e-3)
+
+    # the bf16 variant stays fp32 in every carried leaf, like the single step
+    scan16 = jax.jit(make_gan_train_scan_step(gdef, ADAM,
+                                              compute_dtype=jnp.bfloat16))
+    s16, m16 = scan16(state0, reals, key)
+    for leaf in jax.tree.leaves((s16.gen_params, s16.disc_params,
+                                 s16.opt_g, s16.opt_d, s16.gen_state)):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+    assert np.isfinite(np.asarray(m16["loss_gen"])).all()

@@ -363,12 +363,16 @@ def main():
     # outputs as a negative on the fitness path (docs/BENCH.md — no win, gate
     # broken at 2.9e-3); run it explicitly to re-check on new shapes.
     names = sys.argv[1:] or [n for n in LEGS if n != "lowp_io"]
-    for n in names:
-        log(f"[bench_ab] ===== leg {n} =====")
-        try:
-            LEGS[n]()
-        except Exception as e:
-            record(n, error=repr(e))
+    # one TPU holder at a time, as a mechanism (core/tpulock.py)
+    from gan_discovery_pso_tpu.core.tpulock import tpu_lock
+
+    with tpu_lock("bench_ab"):
+        for n in names:
+            log(f"[bench_ab] ===== leg {n} =====")
+            try:
+                LEGS[n]()
+            except Exception as e:
+                record(n, error=repr(e))
     log("[bench_ab] done")
 
 

@@ -156,4 +156,8 @@ class _null:
 
 
 if __name__ == "__main__":
-    main()
+    # one TPU holder at a time, as a mechanism (core/tpulock.py)
+    from gan_discovery_pso_tpu.core.tpulock import tpu_lock
+
+    with tpu_lock("profile_flagship"):
+        main()

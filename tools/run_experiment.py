@@ -110,18 +110,83 @@ def dim_sets(dim: int) -> list[str]:
             f"model_inverter.latent_space={dim}"]
 
 
+def _dir_has_files(p: Path) -> bool:
+    return p.is_dir() and any(f.is_file() for f in p.rglob("*"))
+
+
+def record_valid(rec: dict) -> bool:
+    """A leg's rc==0 record only counts if its artifacts still EXIST.
+
+    Containers are recycled between rounds: timings.jsonl (committed)
+    survives while the gitignored artifact roots are wiped, so a record can
+    point at nothing — treating it as done would skip the leg AND starve
+    every dependent (round-5 hardening). Every recorded run dir must be
+    present and at least one must contain files (the run-root seeding below
+    creates EMPTY placeholder dirs for committed snapshot names, which must
+    not validate)."""
+    dirs = [REPO / ROOTS[root] / name
+            for root, names in (rec.get("run_dirs") or {}).items()
+            for name in names]
+    if not dirs:
+        name = LEGACY_RUN_DIRS.get(rec["leg"])
+        if name is None:
+            return True  # leg produces no run dirs; nothing to validate
+        dirs = [REPO / rel / name for rel in ROOTS.values()]
+        return any(_dir_has_files(d) for d in dirs)
+    return all(d.is_dir() for d in dirs) and any(_dir_has_files(d) for d in dirs)
+
+
 def load_records() -> dict[str, dict]:
-    """leg -> its latest rc==0 timings record (for resolution + resume)."""
+    """leg -> its latest rc==0 timings record (for resolution + resume),
+    dropping records whose artifacts no longer exist (those legs re-run)."""
     recs: dict[str, dict] = {}
     if TIMINGS.exists():
         for line in TIMINGS.read_text().splitlines():
             rec = json.loads(line)
             if rec.get("rc") == 0:
-                recs[rec["leg"]] = rec
+                if record_valid(rec):
+                    recs[rec["leg"]] = rec
+                else:
+                    recs.pop(rec["leg"], None)
+                    print(f"[experiment] {rec['leg']}: recorded artifacts "
+                          "missing on disk — will re-run", flush=True)
     return recs
 
 
+def seed_run_roots() -> None:
+    """Recreate committed snapshot names as EMPTY placeholder run dirs.
+
+    experiments/histories/ keeps (committed) snapshots of earlier rounds'
+    run dirs while the live artifact roots are wiped with the container;
+    without the names on disk the run-id allocator (core/rundir.py
+    get_next_run_id) would restart at 00001 and new runs would COLLIDE with
+    committed snapshot names. Empty placeholders keep the counter moving
+    forward; they fail record validation (no files), so stale records still
+    re-run, and summarize_results prefers snapshot content over empty live
+    dirs."""
+    hist = EXP / "histories"
+    if not hist.is_dir():
+        return
+    for d in sorted(hist.iterdir()):
+        if d.is_dir() and "--" in d.name:
+            for rel in ROOTS.values():
+                (REPO / rel / d.name).mkdir(parents=True, exist_ok=True)
+
+
+seed_run_roots()
 RECORDS = load_records()
+# every leg name ever written to timings.jsonl (any rc) — skip records are
+# only appended for legs with NO prior record, so resumed invocations can't
+# accumulate duplicate skipped rows (ADVICE r4)
+EVER_RECORDED: set[str] = set()
+if TIMINGS.exists():
+    EVER_RECORDED = {json.loads(line)["leg"]
+                     for line in TIMINGS.read_text().splitlines()}
+
+# stop dispatching new legs after this wall-clock instant (--deadline-min /
+# GDPT_DEADLINE_MIN): a sweep must never straddle the round boundary into
+# the driver's bench window again (VERDICT r4 item 7)
+DEADLINE_TS: float | None = None
 
 
 def produced_dir(leg: str, root: str) -> str:
@@ -201,8 +266,17 @@ class Driver:
         self.status: dict[str, str] = {leg: "ok" for leg in RECORDS}
 
     def record(self, payload: dict) -> None:
+        EVER_RECORDED.add(payload["leg"])
         with open(TIMINGS, "a") as tf:
             tf.write(json.dumps(payload) + "\n")
+
+    def _record_skip(self, name: str, reason: str) -> None:
+        # only the FIRST skip of a never-run leg is recorded: resumed
+        # invocations must not accumulate duplicate skipped rows in
+        # timings.jsonl / RESULTS.md (ADVICE r4)
+        if name not in EVER_RECORDED:
+            self.record({"leg": name, "rc": "skipped", "reason": reason})
+            EVER_RECORDED.add(name)
 
     def leg(self, name: str, argv_fn, deps: tuple[str, ...] = ()) -> None:
         if self.only and name not in self.only:
@@ -210,18 +284,24 @@ class Driver:
         if self.status.get(name) == "ok":
             print(f"[experiment] {name}: already done, skipping", flush=True)
             return
+        if DEADLINE_TS is not None and time.time() > DEADLINE_TS:
+            print(f"[experiment] {name}: deadline passed — not dispatched",
+                  flush=True)
+            self.status[name] = "deadline"
+            return
         bad = [d for d in deps if self.status.get(d) != "ok"]
         if bad:
             reason = ", ".join(f"{d}={self.status.get(d, 'not run')}" for d in bad)
             print(f"[experiment] {name}: SKIPPED (deps: {reason})", flush=True)
-            self.record({"leg": name, "rc": "skipped", "reason": reason})
+            if not any(self.status.get(d) == "deadline" for d in bad):
+                self._record_skip(name, reason)
             self.status[name] = "skipped"
             return
         try:
             argv_tail = argv_fn()
         except (FileNotFoundError, RuntimeError) as e:
             print(f"[experiment] {name}: SKIPPED (resolution: {e})", flush=True)
-            self.record({"leg": name, "rc": "skipped", "reason": str(e)})
+            self._record_skip(name, str(e))
             self.status[name] = "skipped"
             return
         wait_for_backend()
@@ -328,6 +408,26 @@ def main(only: set[str] | None = None) -> int:
          "--path-cnn", produced_dir("cnn_multipatient", "models")]
         + dim_sets(10) + fm),
         deps=("dcgan_z10", "inverter_adv_z10", "cnn_multipatient"))
+    # The reference runs EVERY patient with BOTH fitness controls
+    # (start_pso_optimize.sh:6-7: --control_pso_fitness optimize_in_training
+    # AND optimize_out_training; the switch is util_discovery.py:75-80). The
+    # p1/p5 legs above run the config default (optimize_in_training,
+    # configs/dcgan_mnist.yaml trainer_pso_inverter); these add the
+    # out-of-training control per patient. The reference nests one run dir's
+    # artifacts under per-control subdirs (pso_inverter.py:128,190-194);
+    # here each control is its own run dir with the control recorded in
+    # configuration.yaml (docs/PARITY.md row 9).
+    for pat in (5, 1):
+        dv.leg(f"pso_inverter_p{pat}_out_z10", lambda pat=pat: (
+            ["pso-inverter", "--ood-patient", str(pat),
+             "--path-gan", gan10(),
+             "--path-inverter", inv10(),
+             "--path-cnn", produced_dir("cnn_multipatient", "models"),
+             "--set",
+             "trainer_pso_inverter.control_pso_fitness=optimize_out_training"]
+            + dim_sets(10) + fm),
+            deps=("dcgan_z10", "inverter_adv_z10", "cnn_multipatient"))
+
     dv.leg("regularize_inverter_z10", lambda: (
         ["regularize-inverter", "--path-gan", gan10(),
          "--path-inverter", inv10()] + dim_sets(10) + fm),
@@ -375,6 +475,18 @@ def main(only: set[str] | None = None) -> int:
          "--path-ood-pso", produced_dir("pso_inverter_p5_z10", "interim"),
          "--ood-patient", "5"] + dim_sets(10)),
         deps=("pso_z10", "pso_inverter_p5_z10"))
+    # ... and over BOTH control dirs per patient, like the reference's
+    # (commented) analysis pair in start_pso_optimize.sh:12-13
+    for pat, ctrl, src in ((5, "out", "pso_inverter_p5_out_z10"),
+                           (1, "in", "pso_inverter_p1_z10"),
+                           (1, "out", "pso_inverter_p1_out_z10")):
+        dv.leg(f"pso_inverter_analysis_p{pat}_{ctrl}_z10",
+               lambda pat=pat, src=src: (
+                   ["pso-inverter-analysis",
+                    "--path-pso", produced_dir("pso_z10", "interim"),
+                    "--path-ood-pso", produced_dir(src, "interim"),
+                    "--ood-patient", str(pat)] + dim_sets(10)),
+               deps=("pso_z10", src))
 
     failed = sorted(k for k, v in dv.status.items() if v == "failed")
     skipped = sorted(k for k, v in dv.status.items() if v == "skipped")
@@ -387,4 +499,20 @@ def main(only: set[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(only=set(sys.argv[1:]) or None))
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("legs", nargs="*",
+                    help="run only these legs (default: the full chain)")
+    ap.add_argument("--deadline-min", type=float,
+                    default=float(os.environ.get("GDPT_DEADLINE_MIN", 0)) or None,
+                    help="stop DISPATCHING new legs after this many minutes "
+                         "(an in-flight leg still finishes) — so a sweep can "
+                         "never straddle the round boundary into the "
+                         "driver's bench window")
+    a = ap.parse_args()
+    if a.deadline_min:
+        DEADLINE_TS = time.time() + a.deadline_min * 60.0
+        print(f"[experiment] deadline: no new legs after "
+              f"{a.deadline_min:.0f} min", flush=True)
+    raise SystemExit(main(only=set(a.legs) or None))
