@@ -200,6 +200,7 @@ def run_pso_discovery_batched(
         make_batched_discovery_runner,
         make_chunked_batched_discovery_runner,
         resolve_fitness_chunk,
+        select_program,
     )
 
     # HBM-streaming chunking for large swarms, ON BY DEFAULT at >=256
@@ -216,19 +217,12 @@ def run_pso_discovery_batched(
     # fp32 (HIGHEST-precision) 50-iteration monoliths compile superlinearly
     # in program length on this backend (316-506 s cold vs 38 s for a
     # 10-iteration chunk chain with the IDENTICAL trajectory — docs/BENCH.md
-    # round-4 compile_bisect). Default the cold parity path to the chunked
-    # program; --set trainer_pso.program=monolithic restores the single
-    # program, =chunked forces chunking for fast-math runs too. Early-stop
-    # runs keep the monolith under 'auto': the chunked runner's host
-    # early-exit truncates history at chunk granularity.
-    program = str(ctx.cfg.trainer_pso.get("program", "auto"))
-    chunk = 10 if hp.n_iterations % 10 == 0 else 0
-    use_chunked = chunk > 1 and hp.n_iterations > chunk and (
-        program == "chunked"
-        or (program == "auto" and fast_math_dtype is None
-            and not hp.early_stopping)
-    )
-    if use_chunked:
+    # compile_bisect + round-5). pso/runner.select_program defaults the cold
+    # parity path to the chunked program; --set trainer_pso.program=
+    # monolithic|chunked forces either.
+    chunk = select_program(str(ctx.cfg.trainer_pso.get("program", "auto")),
+                           hp, fast_math_dtype is not None)
+    if chunk:
         run = make_chunked_batched_discovery_runner(cnn_def, hp, chunk, **kw)
     else:
         run = make_batched_discovery_runner(cnn_def, hp, **kw)

@@ -35,4 +35,5 @@ from gan_discovery_pso_tpu.pso.runner import (
     make_discovery_runner,
     make_inverter_runner,
     resolve_fitness_chunk,
+    select_program,
 )

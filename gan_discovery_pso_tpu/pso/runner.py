@@ -45,6 +45,29 @@ def resolve_fitness_chunk(value, n_particles: int) -> int | None:
     return v if v < n_particles else None
 
 
+def select_program(program: str, hp: PsoConfig, fast_math: bool) -> int:
+    """Resolve `trainer_pso.program` to a chunk length (0 = monolithic).
+
+    'auto' (the shipped default): fp32 HIGHEST-precision 50-iteration
+    monoliths compile superlinearly on the axon XLA:TPU backend (316-506 s
+    cold vs 38 s for the trajectory-identical 10-iteration chunk chain —
+    docs/BENCH.md compile_bisect + round-5), so parity runs default to
+    chunked programs; fast-math (bf16) programs compile in seconds and keep
+    the monolith, as do early-stopping runs (the chunked host early-exit
+    truncates history at chunk granularity). 'chunked'/'monolithic' force.
+    Chunking requires 10 | n_iterations.
+    """
+    if program not in ("auto", "chunked", "monolithic"):
+        raise ValueError(f"trainer_pso.program={program!r} — expected "
+                         "auto | chunked | monolithic")
+    chunk = 10
+    if program == "monolithic" or hp.n_iterations % chunk or hp.n_iterations <= chunk:
+        return 0
+    if program == "chunked":
+        return chunk
+    return 0 if (fast_math or hp.early_stopping) else chunk
+
+
 def make_discovery_runner(
     cnn_def: ResNetDef,
     hp: PsoConfig,

@@ -567,3 +567,31 @@ def test_resolve_fitness_chunk_defaults():
         resolve_fitness_chunk(48, 256)  # does not divide
     with pytest.raises(ValueError):
         resolve_fitness_chunk(-8, 256)
+
+
+def test_select_program_default_path():
+    """The CLI cold path defaults fp32 parity runs to chunked 10-iteration
+    programs (trajectory-identical — test_chunked_batched_runner_replays_
+    monolithic_trajectory) and keeps the monolith for fast-math /
+    early-stopping / non-divisible runs (pso/runner.select_program)."""
+    from gan_discovery_pso_tpu.pso import select_program
+
+    hp50 = PsoConfig(n_iterations=50, n_particles=32, dim_space=10)
+    assert select_program("auto", hp50, fast_math=False) == 10
+    assert select_program("auto", hp50, fast_math=True) == 0
+    assert select_program("chunked", hp50, fast_math=True) == 10
+    assert select_program("monolithic", hp50, fast_math=False) == 0
+
+    es = PsoConfig(n_iterations=50, n_particles=32, dim_space=10,
+                   early_stopping=True)
+    assert select_program("auto", es, fast_math=False) == 0  # keep history exact
+
+    hp7 = PsoConfig(n_iterations=7, n_particles=32, dim_space=10)
+    assert select_program("auto", hp7, fast_math=False) == 0  # 10 ∤ 7
+    assert select_program("chunked", hp7, fast_math=False) == 0
+    hp10 = PsoConfig(n_iterations=10, n_particles=32, dim_space=10)
+    assert select_program("auto", hp10, fast_math=False) == 0  # one chunk = monolith
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_program("bogus", hp50, fast_math=False)
