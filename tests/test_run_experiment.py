@@ -90,3 +90,31 @@ def test_skip_records_not_duplicated(rex):
     rex.EVER_RECORDED.add("legB")
     dv._record_skip("legB", "whatever")
     assert len(rex.TIMINGS.read_text().splitlines()) == 1
+
+
+def test_record_valid_rejects_dim_mismatched_squatter(rex, tmp_path):
+    """After a recycle, the run-id allocator can hand a stale record's dir
+    name to a NEW run of a DIFFERENT dim (observed live in round 5: the
+    rebuilt dcgan_z10 took 00008--dcgan, which the round-4 dcgan_z20
+    record pointed at, so z20 wrongly skipped as 'already done'). A record
+    that pinned a z_dim must match the run dir's configuration.yaml."""
+    rec = {"leg": "dcgan_z20", "rc": 0,
+           "argv": ["gan_discovery_pso_tpu.cli", "dcgan", "--set",
+                    "trainer_gan.z_dim=20", "trainer_pso.dim_space=20"],
+           "run_dirs": {"models": ["00008--dcgan"],
+                        "reports": ["00008--dcgan"]}}
+    mdl = tmp_path / rex.ROOTS["models"] / "00008--dcgan"
+    rep = tmp_path / rex.ROOTS["reports"] / "00008--dcgan"
+    mdl.mkdir(parents=True)
+    rep.mkdir(parents=True)
+    (mdl / "best_g.msgpack").write_bytes(b"x")
+    # no configuration.yaml -> ownership unverifiable -> trust existence
+    assert rex.record_valid(rec)
+    # a squatter of a different dim invalidates the record
+    (rep / "configuration.yaml").write_text(
+        "trainer_gan:\n  z_dim: 10\n")
+    assert not rex.record_valid(rec)
+    # the leg's own artifacts validate
+    (rep / "configuration.yaml").write_text(
+        "trainer_gan:\n  z_dim: 20\n")
+    assert rex.record_valid(rec)

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -114,8 +115,29 @@ def _dir_has_files(p: Path) -> bool:
     return p.is_dir() and any(f.is_file() for f in p.rglob("*"))
 
 
+def _record_dim(rec: dict) -> str | None:
+    """The z_dim the record's argv pinned, if any."""
+    for a in rec.get("argv", []):
+        if a.startswith("trainer_gan.z_dim="):
+            return a.split("=", 1)[1]
+    return None
+
+
+def _rundir_dim(rec: dict) -> str | None:
+    """The z_dim in the recorded run dir's configuration.yaml, if found."""
+    for root, names in (rec.get("run_dirs") or {}).items():
+        for name in names:
+            cfg = REPO / ROOTS[root] / name / "configuration.yaml"
+            if cfg.is_file():
+                m = re.search(r"^\s*z_dim:\s*(\d+)\s*$", cfg.read_text(), re.M)
+                if m:
+                    return m.group(1)
+    return None
+
+
 def record_valid(rec: dict) -> bool:
-    """A leg's rc==0 record only counts if its artifacts still EXIST.
+    """A leg's rc==0 record only counts if its artifacts still EXIST and
+    still BELONG to it.
 
     Containers are recycled between rounds: timings.jsonl (committed)
     survives while the gitignored artifact roots are wiped, so a record can
@@ -123,7 +145,15 @@ def record_valid(rec: dict) -> bool:
     every dependent (round-5 hardening). Every recorded run dir must be
     present and at least one must contain files (the run-root seeding below
     creates EMPTY placeholder dirs for committed snapshot names, which must
-    not validate)."""
+    not validate).
+
+    Existence is NOT ownership: only snapshot names that were committed get
+    placeholder seeds, so after a recycle the run-id allocator can hand a
+    stale record's dir name to a NEW run of a different leg (observed live:
+    the rebuilt dcgan_z10 took 00008--dcgan, which round-4's dcgan_z20
+    record pointed at — z20 then wrongly skipped as 'already done'). When
+    the record pinned a z_dim, require the run dir's configuration.yaml to
+    agree before trusting it."""
     dirs = [REPO / ROOTS[root] / name
             for root, names in (rec.get("run_dirs") or {}).items()
             for name in names]
@@ -133,7 +163,11 @@ def record_valid(rec: dict) -> bool:
             return True  # leg produces no run dirs; nothing to validate
         dirs = [REPO / rel / name for rel in ROOTS.values()]
         return any(_dir_has_files(d) for d in dirs)
-    return all(d.is_dir() for d in dirs) and any(_dir_has_files(d) for d in dirs)
+    if not (all(d.is_dir() for d in dirs) and any(_dir_has_files(d) for d in dirs)):
+        return False
+    want = _record_dim(rec)
+    have = _rundir_dim(rec)
+    return want is None or have is None or want == have
 
 
 def load_records() -> dict[str, dict]:
