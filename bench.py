@@ -358,12 +358,29 @@ def measure_tpu() -> dict:
     # number only becomes the headline when the gate passed AND member 0's
     # g_best matches the unstacked bf16 run.
     stack = int(os.environ.get("GDPT_STACK", 4))
+    # GDPT_STACK_CHUNK: fitness_chunk for the stacked program. Under both
+    # vmaps (stack, class) a chunk of c particles makes each sequential
+    # fitness step batch stack*8*c images — "auto" sizes c so that product
+    # is 512, the streaming geometry the tp_chunk result showed this chip
+    # prefers (63% MFU; activations stay HBM-resident between the matmuls).
+    # 0 disables (round-5's original monolithic stacked program, 419 s cold
+    # compile); the chunked program also compiles far faster (lax.map body
+    # is compiled once). Chunked fitness is value-identical per particle,
+    # and the member-0 gate below still checks the whole trajectory.
+    stack_chunk_env = os.environ.get("GDPT_STACK_CHUNK", "auto")
+    if stack_chunk_env == "auto":
+        c = 512 // max(1, stack * N_CLASSES)
+        stack_chunk = c if (0 < c < N_PARTICLES and N_PARTICLES % c == 0) else None
+    else:
+        c = int(stack_chunk_env)
+        stack_chunk = c if 0 < c < N_PARTICLES else None
     headline_kind = "pipelined"
     stacked_evals = stacked_mfu = stack_consistency = None
     if stack > 1 and gate_ok:
         try:
             run_s = make_batched_discovery_runner(
-                rdef, hp, dtype=jnp.bfloat16, stack=stack)
+                rdef, hp, dtype=jnp.bfloat16, stack=stack,
+                fitness_chunk=stack_chunk)
 
             def call_s(salt_base: int):
                 salts = salt_base + jnp.arange(stack)
@@ -379,8 +396,8 @@ def measure_tpu() -> dict:
             with fast_math():
                 out = call_s(0)  # member 0 == the unstacked salt-0 gate run
             g_s = fetch_s(out)
-            log(f"bf16 stacked x{stack}: compile+first run "
-                f"{time.time() - t0:.1f}s")
+            log(f"bf16 stacked x{stack} (fitness_chunk={stack_chunk}): "
+                f"compile+first run {time.time() - t0:.1f}s")
             stack_consistency = float(np.max(np.abs(g_s[0] - g16)))
             fetch_s(call_s(1000))  # warm steady-state
             depth = max(2, 20 // stack)
@@ -622,6 +639,7 @@ def measure_tpu() -> dict:
         "bf16_batched_evals_per_sec": total_evals / wall16,
         "bf16_stacked_evals_per_sec": stacked_evals,
         "stacked": stack,
+        "stacked_chunk": stack_chunk,
         "stacked_mfu": stacked_mfu,
         "stack_gbest_drift": stack_consistency,
         "fp32_single_swarm_evals_per_sec": single32,
@@ -733,6 +751,7 @@ def _bench_under_lock():
                 "bf16_stacked_evals_per_sec": _rnd(
                     r["bf16_stacked_evals_per_sec"]),
                 "stacked_mfu": _rnd(r["stacked_mfu"], 4),
+                "stacked_chunk": r["stacked_chunk"],
                 "stack_gbest_drift": _rnd(r["stack_gbest_drift"], 6),
                 "fp32_single_swarm_evals_per_sec": _rnd(
                     r["fp32_single_swarm_evals_per_sec"]),

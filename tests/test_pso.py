@@ -537,8 +537,19 @@ def test_stacked_batched_runner_matches_unstacked_members():
 
     plain = make_batched_discovery_runner(rdef, hp)
     stacked = make_batched_discovery_runner(rdef, hp, stack=2)
+    # chunked-stacked: the bench headline geometry (GDPT_STACK_CHUNK) —
+    # fitness evaluated in sequential per-swarm chunks UNDER both vmaps;
+    # per-particle fitness is independent, so the trajectory is identical
+    chunked = make_batched_discovery_runner(rdef, hp, stack=2, fitness_chunk=2)
     f_s, h_s, i_s = stacked(keys, gp, gs, rp, rs, idxs)
+    f_c, h_c, i_c = chunked(keys, gp, gs, rp, rs, idxs)
     assert np.asarray(f_s.g_best_val).shape == (2, 2)
+    np.testing.assert_allclose(
+        np.asarray(f_c.g_best_val), np.asarray(f_s.g_best_val),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(h_c.fitness), np.asarray(h_s.fitness),
+        rtol=1e-6, atol=1e-7)
     for m in range(2):
         f_p, h_p, i_p = plain(keys[m], gp, gs, rp, rs, idxs)
         np.testing.assert_allclose(
